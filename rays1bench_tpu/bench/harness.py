@@ -1,0 +1,78 @@
+"""Benchmark driver + result logging.
+
+The TPU analog of the reference's benchmark() driver and RESULT/log_results
+records (reference: src/latest/rayweek1.cpp:845-927, src/common/common.h:36-77):
+time a full render, count rays by the reference metric, average over N runs,
+and persist `version|time|rays|mrays/s|` pipe-delimited records to
+out_<scene>.txt — byte-compatible with the reference's files so the report
+generator can mix both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.render.pipeline import render_image, to_srgb_u8
+from rays1bench_tpu.version import VERSION_NAME
+
+
+@dataclasses.dataclass
+class BenchResult:
+    """Mirror of RESULT (common.h:36-45)."""
+    elapsed_seconds: float
+    num_rays: int
+
+    @property
+    def mrays_per_sec(self) -> float:
+        return (self.num_rays / self.elapsed_seconds / 1e6
+                if self.elapsed_seconds else 0.0)
+
+
+def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
+              write_tga: Optional[str] = None, render_fn=None,
+              warmup: bool = True) -> List[BenchResult]:
+    """Run the renderer num_runs times; returns one BenchResult per run.
+
+    render_fn(spheres, camera, cfg) -> (image, num_rays) defaults to the
+    single-device pipeline; pass a sharded/pallas variant to benchmark it."""
+    render_fn = render_fn or render_image
+    camera = scene.camera.build()
+
+    if warmup:  # compile outside the timed region (benchmark() times only
+        # the render, rayweek1.cpp:866-891)
+        img, _ = render_fn(scene.spheres, camera, cfg)
+        jax.block_until_ready(img)
+
+    results = []
+    for _ in range(num_runs):
+        t0 = time.perf_counter()
+        img, num_rays = render_fn(scene.spheres, camera, cfg)
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        results.append(BenchResult(dt, int(num_rays)))
+
+    if write_tga:
+        import numpy as np
+        from rays1bench_tpu.scene import tga
+        tga.write_rgb24(write_tga, np.asarray(to_srgb_u8(img)))
+    return results
+
+
+def log_results(scene_name: str, results: List[BenchResult],
+                version: str = VERSION_NAME, directory: str = ".") -> str:
+    """Average runs and write out_<scene>.txt in the reference's pipe format
+    (common.h:47-77). Returns the record string."""
+    n = len(results)
+    avg_t = sum(r.elapsed_seconds for r in results) / n
+    avg_rays = sum(r.num_rays for r in results) // n
+    mrays = avg_rays / avg_t / 1e6 if avg_t else 0.0
+    record = f"{version}|{avg_t:.3f}s|{avg_rays}|{mrays:0.3f} mrays/s|"
+    import os
+    with open(os.path.join(directory, f"out_{scene_name}.txt"), "w") as f:
+        f.write(record)
+    return record

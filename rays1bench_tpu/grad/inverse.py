@@ -1,0 +1,114 @@
+"""Inverse rendering: differentiate the renderer w.r.t. scene parameters.
+
+The reference has no gradient capability — this subsystem is the rebuild's
+extension target (BASELINE.json config 4): fit sphere centers / radii /
+albedos to a target image by gradient descent through the full wavefront
+renderer.
+
+Differentiation notes (SURVEY.md §7.3):
+* the hit-selection argmin is discontinuous in scene parameters; its index is
+  stop_gradient'ed (render/intersect.py), so gradients flow through the hit
+  *distance/normal/albedo* at fixed hit topology — the standard
+  reparameterization for sphere-scene inverse rendering away from silhouettes;
+* safe_sqrt keeps the VJP finite at grazing discriminants;
+* the radiance loop must be the fixed-trip variant (cfg.early_exit=False):
+  reverse-mode AD cannot differentiate lax.while_loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.render.camera import Camera
+from rays1bench_tpu.render.pipeline import render_image
+from rays1bench_tpu.parallel.shard import render_image_sharded
+from rays1bench_tpu.scene.soa_spheres import SphereSOA
+
+
+@dataclasses.dataclass(frozen=True)
+class InverseConfig:
+    """Optimization hyperparameters for fit_scene."""
+    learning_rate: float = 2e-2
+    steps: int = 200
+    # Which SphereSOA float columns are optimized; the rest stay fixed.
+    optimize: Tuple[str, ...] = ("center_x", "center_y", "center_z",
+                                 "radius", "albedo_x", "albedo_y", "albedo_z")
+
+
+def _grad_cfg(cfg: RenderConfig) -> RenderConfig:
+    return cfg if not cfg.early_exit else cfg.replace(early_exit=False)
+
+
+def params_of(spheres: SphereSOA, names: Tuple[str, ...]) -> Dict[str, jax.Array]:
+    """Extract the differentiable parameter dict from the scene SoA."""
+    return {n: getattr(spheres, n) for n in names}
+
+
+def with_params(spheres: SphereSOA, params: Dict[str, jax.Array]) -> SphereSOA:
+    return dataclasses.replace(spheres, **params)
+
+
+def render_for_loss(spheres: SphereSOA, camera: Camera, cfg: RenderConfig,
+                    mesh=None) -> jax.Array:
+    """Differentiable linear-radiance render (fixed-trip loop)."""
+    if mesh is None:
+        img, _ = render_image(spheres, camera, _grad_cfg(cfg))
+    else:
+        img, _ = render_image_sharded(spheres, camera, _grad_cfg(cfg), mesh)
+    return img
+
+
+def image_loss(params: Dict[str, jax.Array], spheres: SphereSOA,
+               camera: Camera, target: jax.Array, cfg: RenderConfig,
+               mesh=None) -> jax.Array:
+    """MSE in linear radiance between a render with `params` applied and the
+    target image."""
+    img = render_for_loss(with_params(spheres, params), camera, cfg, mesh)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_train_step(spheres_template: SphereSOA, camera: Camera,
+                    cfg: RenderConfig, inv: InverseConfig, mesh=None):
+    """Build (step_fn, optimizer) over the selected parameter dict.
+
+    step_fn(params, opt_state, target) -> (params, opt_state, loss) is
+    jittable; with a mesh the forward is shard_map'd over rays and the
+    gradient reduction onto the replicated scene parameters rides the
+    shard_map transpose's psum — the ICI analog of a gradient all-reduce
+    (SURVEY.md §5, "distributed communication backend")."""
+    optimizer = optax.adam(inv.learning_rate)
+
+    @jax.jit
+    def step(params, opt_state, target):
+        loss, grads = jax.value_and_grad(image_loss)(
+            params, spheres_template, camera, target, cfg, mesh)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, optimizer
+
+
+def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
+              cfg: RenderConfig, inv: Optional[InverseConfig] = None,
+              mesh=None, verbose: bool = False):
+    """Adam-fit scene parameters to a target image.
+
+    Returns (fitted_spheres, losses list)."""
+    inv = inv or InverseConfig()
+    step, optimizer = make_train_step(spheres0, camera, cfg, inv, mesh)
+    params = params_of(spheres0, inv.optimize)
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(inv.steps):
+        params, opt_state, loss = step(params, opt_state, target)
+        losses.append(float(loss))
+        if verbose and (i % 10 == 0 or i == inv.steps - 1):
+            print(f"step {i:4d}  loss {losses[-1]:.6g}")
+    return with_params(spheres0, params), losses

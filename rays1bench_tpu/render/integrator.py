@@ -1,0 +1,117 @@
+"""Wavefront radiance integrator.
+
+The reference computes radiance recursively — color() calls itself per bounce
+up to MAX_BOUNCES (reference: src/latest/rayweek1.cpp:515-536). Recursion with
+data-dependent depth cannot be traced; the TPU-native form is an *iterative
+masked wavefront*: the whole ray batch advances one bounce per loop iteration,
+carrying (origin, direction, attenuation, radiance, alive) lanes, with dead
+lanes masked. `lax.while_loop` exits as soon as every lane is dead (the analog
+of the recursion's early return); a fixed-trip variant exists for reverse-mode
+AD, which cannot differentiate a while loop.
+
+Radiance identity used: a path's contribution is
+    prod(attenuations along path) * sky(last direction)   on a miss,
+    0                                                     if absorbed/depth-out,
+which is exactly the closed form of the reference recursion.
+
+Ray counting matches the reference metric: one ray per radiance evaluation,
+including bounces (++td->out_num_rays, rayweek1.cpp:517) — here, the number of
+alive lanes at the top of each iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rays1bench_tpu.render.intersect import closest_hit
+from rays1bench_tpu.render.materials import scatter
+from rays1bench_tpu.scene.spheres import PreparedSpheres
+
+
+def sky_color(dx, dy, dz):
+    """Vertical sky gradient lerp(white, (0.5,0.7,1.0), 0.5*(dir.y+1))
+    (rayweek1.cpp:530-534)."""
+    t = 0.5 * (dy + 1.0)
+    s = 1.0 - t
+    return s + t * 0.5, s + t * 0.7, s + t * 1.0
+
+
+def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
+                 t_min, t_max, max_bounces):
+    (bounce, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive,
+     num_rays) = state
+
+    num_rays = num_rays + jnp.sum(alive.astype(jnp.uint32))
+
+    rec = closest_hit(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max)
+
+    # Miss -> accumulate attenuated sky, lane dies.
+    skr, skg, skb = sky_color(dx, dy, dz)
+    miss = alive & ~rec.hit
+    rr = rr + jnp.where(miss, ar * skr, 0.0)
+    rg = rg + jnp.where(miss, ag * skg, 0.0)
+    rb = rb + jnp.where(miss, ab * skb, 0.0)
+
+    # Hit -> scatter if depth allows (depth < MAX_BOUNCES, rayweek1.cpp:523).
+    (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed, ray_id,
+                                             bounce)
+    cont = alive & rec.hit & ok & (bounce < max_bounces)
+
+    ox = jnp.where(cont, rec.px, ox)
+    oy = jnp.where(cont, rec.py, oy)
+    oz = jnp.where(cont, rec.pz, oz)
+    dx = jnp.where(cont, sx, dx)
+    dy = jnp.where(cont, sy, dy)
+    dz = jnp.where(cont, sz, dz)
+    ar = jnp.where(cont, ar * mr, ar)
+    ag = jnp.where(cont, ag * mg, ag)
+    ab = jnp.where(cont, ab * mb, ab)
+
+    return (bounce + 1, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, cont,
+            num_rays)
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "t_min", "t_max",
+                                   "early_exit"))
+def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
+          max_bounces: int = 50, t_min: float = 1e-3, t_max: float = 3.4e38,
+          early_exit: bool = True, active=None):
+    """Trace a wavefront of N primary rays to completion.
+
+    `active` optionally masks out padding lanes (bool[N]); inactive lanes are
+    dead from the start and are never counted.
+
+    Returns ((rr, rg, rb), num_rays): per-ray linear radiance and the number
+    of rays traced (uint32; counts bounces, reference metric).
+    """
+    # Initial carries derive from ox (not fresh constants) so that under
+    # shard_map they inherit the rays axis's "varying" type and the loop
+    # carry types stay consistent.
+    zeros = ox * 0.0
+    ones = zeros + 1.0
+    alive0 = (zeros < 1.0) if active is None else active
+    num0 = zeros.astype(jnp.uint32).sum()
+    state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+             ones, ones, ones, zeros, zeros, zeros,
+             alive0, num0)
+
+    body = lambda s: _bounce_step(s, spheres, seed, ray_id,
+                                  jnp.float32(t_min), jnp.float32(t_max),
+                                  jnp.int32(max_bounces))
+
+    if early_exit:
+        # Recursion-style early exit: stop when every lane is dead. The trip
+        # count is dynamic but the shapes are static, so this jits cleanly.
+        def cond(s):
+            return (s[0] <= max_bounces) & jnp.any(s[13])
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        # Fixed-trip path for reverse-mode AD (scan-lowered fori_loop).
+        state = jax.lax.fori_loop(0, max_bounces + 1,
+                                  lambda _, s: body(s), state)
+
+    (_, _, _, _, _, _, _, _, _, _, rr, rg, rb, _, num_rays) = state
+    return (rr, rg, rb), num_rays

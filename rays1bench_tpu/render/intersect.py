@@ -1,0 +1,130 @@
+"""Closest-hit ray/sphere intersection (pure-XLA version).
+
+The reference's hot loop (reference: src/latest/rayweek1.cpp:152-339) is a
+two-pass AVX2 kernel per ray: an 8-wide discriminant sweep with movemask
+compaction of positive lanes, then a scalar closest-t pass over the survivors.
+Compaction is branchy and scalar-tail-heavy — the wrong shape for a TPU. Here
+the same math runs *dense and masked* over a whole (rays x spheres) tile:
+
+  nb     = dot(center - origin, dir)        (rayweek1.cpp:196)
+  c      = dot(co, co) - radius_sq          (rayweek1.cpp:199)
+  discr  = nb^2 - c                         (rayweek1.cpp:201)
+  t      = nb -/+ sqrt(discr), first root in (t_min, t_max) wins
+           (pass 2, rayweek1.cpp:284-314)
+
+and the "collect positives then scan" step becomes a masked argmin over the
+sphere axis. Placeholder spheres are masked exactly like the reference's
+inv_radius == 0 skip (rayweek1.cpp:291-292).
+
+The ray count per call (N) is the wavefront width; the sphere count (S) is
+padded to 128. The (N, S) intermediates are element-wise chains XLA fuses into
+the reduction, so nothing quadratic is materialized in HBM.
+
+Normalized ray directions are assumed (a = dot(d,d) = 1 — step9 semantics,
+src/step9/rayweek1.cpp and SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from rays1bench_tpu.core.vecmath import safe_sqrt
+from rays1bench_tpu.scene.spheres import PreparedSpheres
+
+_BIG = jnp.float32(3.0e38)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HitRecord:
+    """Planar hit payload (reference HitRecord, rayweek1.cpp:122-128, plus the
+    flattened material columns that replace the Material* pointer)."""
+    hit: jax.Array        # bool[N]
+    t: jax.Array          # float32[N]
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    nx: jax.Array
+    ny: jax.Array
+    nz: jax.Array
+    mat_type: jax.Array   # int32[N]
+    albedo_x: jax.Array
+    albedo_y: jax.Array
+    albedo_z: jax.Array
+    fuzz: jax.Array
+    ref_idx: jax.Array
+
+
+def closest_hit(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
+                t_min: float, t_max: float) -> HitRecord:
+    """Closest intersection of N rays against all S spheres.
+
+    Two stages:
+      1. dense masked sweep over the (N, S) candidate matrix -> per-ray argmin
+         index (integer, inherently non-differentiable: hit *topology* is
+         fixed under differentiation, SURVEY.md §7.3);
+      2. O(N) recompute of t/p/normal from the chosen sphere's parameters, so
+         gradients flow through a short, well-conditioned chain instead of
+         through the full matrix.
+    """
+    # ---- stage 1: candidate t over all spheres --------------------------- #
+    # (N,1) against (S,) broadcasts to (N,S).
+    rox, roy, roz = ox[:, None], oy[:, None], oz[:, None]
+    rdx, rdy, rdz = dx[:, None], dy[:, None], dz[:, None]
+
+    cox = spheres.center_x - rox
+    coy = spheres.center_y - roy
+    coz = spheres.center_z - roz
+    nb = cox * rdx + coy * rdy + coz * rdz
+    c = cox * cox + coy * coy + coz * coz - spheres.radius_sq
+    discr = nb * nb - c
+
+    can_hit = (discr > 0.0) & (spheres.valid > 0.0)
+    sq = jnp.sqrt(jnp.where(can_hit, discr, 0.0))
+    t1 = nb - sq
+    t2 = nb + sq
+    # Reference pass 2 tries the near root first, then the far one
+    # (rayweek1.cpp:297-313); since t1 < t2 always, that's equivalent to:
+    t_cand = jnp.where(t1 > t_min, t1, t2)
+    ok = can_hit & (t_cand > t_min) & (t_cand < t_max)
+    t_masked = jnp.where(ok, t_cand, _BIG)
+
+    best = jnp.argmin(t_masked, axis=1)           # first minimum wins
+    hit = jnp.min(t_masked, axis=1) < _BIG
+
+    # ---- stage 2: recompute the hit record from the winning sphere ------- #
+    j = jax.lax.stop_gradient(best)
+    cx = jnp.take(spheres.center_x, j)
+    cy = jnp.take(spheres.center_y, j)
+    cz = jnp.take(spheres.center_z, j)
+    rsq = jnp.take(spheres.radius_sq, j)
+    inv_r = jnp.take(spheres.inv_radius, j)
+
+    gx, gy, gz = cx - ox, cy - oy, cz - oz
+    nb_j = gx * dx + gy * dy + gz * dz
+    c_j = gx * gx + gy * gy + gz * gz - rsq
+    sq_j = safe_sqrt(nb_j * nb_j - c_j)
+    t1_j = nb_j - sq_j
+    t = jnp.where(t1_j > t_min, t1_j, nb_j + sq_j)
+
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    # normal = (p - center) * inv_radius (rayweek1.cpp:321); signed inv_radius
+    # flips the normal for hollow-glass (negative-radius) spheres.
+    nx = (px - cx) * inv_r
+    ny = (py - cy) * inv_r
+    nz = (pz - cz) * inv_r
+
+    return HitRecord(
+        hit=hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
+        mat_type=jnp.take(spheres.mat_type, j),
+        albedo_x=jnp.take(spheres.albedo_x, j),
+        albedo_y=jnp.take(spheres.albedo_y, j),
+        albedo_z=jnp.take(spheres.albedo_z, j),
+        fuzz=jnp.take(spheres.fuzz, j),
+        ref_idx=jnp.take(spheres.ref_idx, j),
+    )

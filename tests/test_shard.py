@@ -1,0 +1,53 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: distributed tests runnable on a CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.parallel.mesh import make_mesh
+from rays1bench_tpu.parallel.shard import render_image_sharded
+from rays1bench_tpu.render.pipeline import render_image
+from rays1bench_tpu.scene.builders import create_small_scene
+
+CFG = RenderConfig(width=64, height=40, spp=2, max_bounces=6, ray_chunk=1024)
+
+
+@pytest.fixture(scope="module")
+def scene_and_camera():
+    scene = create_small_scene(CFG.aspect)
+    return scene, scene.camera.build()
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_matches_single_device(scene_and_camera):
+    """Stateless RNG + static sharding => the sharded render is numerically
+    identical to the single-device one (the property the reference's
+    per-thread RNG streams explicitly lack, README.md:1188)."""
+    scene, camera = scene_and_camera
+    ref, n_ref = render_image(scene.spheres, camera, CFG)
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        img, n = render_image_sharded(scene.spheres, camera, CFG, mesh)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-6)
+        assert int(n) == int(n_ref)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry-run path."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    img, n = jax.jit(fn)(*args)
+    assert img.shape[2] == 3
+    mod.dryrun_multichip(8)
