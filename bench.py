@@ -38,7 +38,8 @@ def main():
 
     import jax
     from rays1bench_tpu.core.config import RenderConfig
-    from rays1bench_tpu.render.pipeline import render_image, to_srgb_u8
+    from rays1bench_tpu.kernels.pipeline import render_image_pallas as render_image
+    from rays1bench_tpu.render.pipeline import to_srgb_u8
     from rays1bench_tpu.scene import builders, tga
 
     if args.quick:
@@ -53,13 +54,19 @@ def main():
 
     # Warmup (compile).
     img, num_rays = render_image(scene.spheres, camera, cfg)
-    jax.block_until_ready(img)
+    float(img.sum())
 
+    # Each timed run perturbs one scene leaf by a sub-ulp-of-the-image amount
+    # and reads back a checksum: the remote runtime caches identical
+    # executions, so identical repeated calls would time as ~0.
+    import dataclasses as _dc
     times = []
-    for _ in range(args.runs):
+    for i in range(args.runs):
+        spheres = _dc.replace(scene.spheres,
+                              center_x=scene.spheres.center_x + (i + 1) * 1e-7)
         t0 = time.perf_counter()
-        img, num_rays = render_image(scene.spheres, camera, cfg)
-        jax.block_until_ready(img)
+        img, num_rays = render_image(spheres, camera, cfg)
+        float(img.sum())
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -27,8 +27,10 @@ def main(argv=None):
                     help="runs per scene, averaged (rayweek1.cpp:949-958)")
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--max-bounces", type=int, default=None)
+    ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"],
+                    help="megakernel (default) or pure-XLA pipeline")
     ap.add_argument("--sharded", type=int, default=0, metavar="NDEV",
-                    help="render sharded over NDEV devices")
+                    help="render sharded over NDEV devices (XLA engine)")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--report", action="store_true",
                     help="print the markdown results table afterwards")
@@ -46,6 +48,9 @@ def main(argv=None):
         cfg = cfg.replace(max_bounces=args.max_bounces)
 
     render_fn = None
+    if args.engine == "xla":
+        from rays1bench_tpu.render.pipeline import render_image
+        render_fn = render_image
     if args.sharded:
         from rays1bench_tpu.parallel.mesh import make_mesh
         from rays1bench_tpu.parallel.shard import render_image_sharded

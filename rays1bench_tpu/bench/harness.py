@@ -39,20 +39,29 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
     """Run the renderer num_runs times; returns one BenchResult per run.
 
     render_fn(spheres, camera, cfg) -> (image, num_rays) defaults to the
-    single-device pipeline; pass a sharded/pallas variant to benchmark it."""
-    render_fn = render_fn or render_image
+    Pallas megakernel pipeline; pass the XLA/sharded variant to benchmark it.
+
+    Each timed run perturbs one scene leaf sub-visibly and reads back a
+    checksum — the remote TPU runtime caches identical executions, so
+    repeated identical calls would otherwise time as ~0."""
+    if render_fn is None:
+        from rays1bench_tpu.kernels.pipeline import render_image_pallas
+        render_fn = render_image_pallas
     camera = scene.camera.build()
 
     if warmup:  # compile outside the timed region (benchmark() times only
         # the render, rayweek1.cpp:866-891)
         img, _ = render_fn(scene.spheres, camera, cfg)
-        jax.block_until_ready(img)
+        float(img.sum())
 
+    import dataclasses as _dc
     results = []
-    for _ in range(num_runs):
+    for i in range(num_runs):
+        spheres = _dc.replace(scene.spheres,
+                              center_x=scene.spheres.center_x + (i + 1) * 1e-7)
         t0 = time.perf_counter()
-        img, num_rays = render_fn(scene.spheres, camera, cfg)
-        jax.block_until_ready(img)
+        img, num_rays = render_fn(spheres, camera, cfg)
+        float(img.sum())
         dt = time.perf_counter() - t0
         results.append(BenchResult(dt, int(num_rays)))
 

@@ -22,22 +22,23 @@ myrand01 = (bits & 0xFFFFFF) / 2^24  (mymath.h:27-30).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Large odd constants for decorrelating the counter axes (Weyl-style).
-_STREAM_RAY = jnp.uint32(0x9E3779B9)     # golden-ratio increment
-_STREAM_BOUNCE = jnp.uint32(0x85EBCA77)
-_STREAM_SLOT = jnp.uint32(0xC2B2AE3D)
+_STREAM_RAY = np.uint32(0x9E3779B9)     # golden-ratio increment
+_STREAM_BOUNCE = np.uint32(0x85EBCA77)
+_STREAM_SLOT = np.uint32(0xC2B2AE3D)
 
-_INV_2_24 = jnp.float32(1.0 / 16777216.0)
-_TWO_PI = jnp.float32(6.2831853071795864769)
+_INV_2_24 = np.float32(1.0 / 16777216.0)
+_TWO_PI = np.float32(6.2831853071795864769)
 
 
 def pcg_hash(x):
     """One round of the PCG-RXS-M-XS output permutation on a uint32 state."""
     x = x.astype(jnp.uint32)
-    state = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
-    word = ((state >> ((state >> jnp.uint32(28)) + jnp.uint32(4))) ^ state) * jnp.uint32(277803737)
-    return (word >> jnp.uint32(22)) ^ word
+    state = x * np.uint32(747796405) + np.uint32(2891336453)
+    word = ((state >> ((state >> np.uint32(28)) + np.uint32(4))) ^ state) * np.uint32(277803737)
+    return (word >> np.uint32(22)) ^ word
 
 
 def hash_bits(seed, ray_id, bounce, slot):
@@ -56,7 +57,9 @@ def hash_bits(seed, ray_id, bounce, slot):
 def bits_to_uniform01(bits):
     """bits -> float32 in [0, 1) using the top-independent 24-bit convention
     of the reference's myrand01 (mymath.h:27-30)."""
-    return (bits & jnp.uint32(0xFFFFFF)).astype(jnp.float32) * _INV_2_24
+    # Mask to 24 bits, then cast via int32 (Mosaic lacks a u32->f32 cast; the
+    # masked value always fits in int32).
+    return (bits & np.uint32(0xFFFFFF)).astype(jnp.int32).astype(jnp.float32) * _INV_2_24
 
 
 def uniform01(seed, ray_id, bounce, slot):
@@ -66,7 +69,7 @@ def uniform01(seed, ray_id, bounce, slot):
 
 def uniform02(seed, ray_id, bounce, slot):
     """Uniform float32 in [0, 2) — the reference's myrand02 (mymath.h:32-35)."""
-    return uniform01(seed, ray_id, bounce, slot) * jnp.float32(2.0)
+    return uniform01(seed, ray_id, bounce, slot) * np.float32(2.0)
 
 
 def _gaussian_pair(seed, ray_id, bounce, slot):
@@ -74,7 +77,7 @@ def _gaussian_pair(seed, ray_id, bounce, slot):
     u1 = uniform01(seed, ray_id, bounce, slot)
     u2 = uniform01(seed, ray_id, bounce, slot + 1)
     # Guard u1 > 0 so log() is finite: shift into (2^-25, 1].
-    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log1p(-u1 + jnp.float32(2.0 ** -25)))
+    r = jnp.sqrt(np.float32(-2.0) * jnp.log1p(-u1 + np.float32(2.0 ** -25)))
     theta = _TWO_PI * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
@@ -92,8 +95,11 @@ def in_unit_ball(seed, ray_id, bounce, slot0=0):
     gz, _ = _gaussian_pair(seed, ray_id, bounce, slot0 + 2)
     u = uniform01(seed, ray_id, bounce, slot0 + 4)
     norm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    # cbrt(u) as exp(log(u)/3): cbrt has no Mosaic (Pallas TPU) lowering, and
+    # this form is exact to ulp-level for u in (0,1]. Clamp keeps log finite.
+    cbrt_u = jnp.exp(jnp.log(jnp.maximum(u, np.float32(1e-30))) * np.float32(1.0 / 3.0))
     # norm == 0 has probability ~0 but would give NaN; clamp.
-    scale = jnp.cbrt(u) / jnp.maximum(norm, jnp.float32(1e-20))
+    scale = cbrt_u / jnp.maximum(norm, np.float32(1e-20))
     return gx * scale, gy * scale, gz * scale
 
 

@@ -1,0 +1,297 @@
+"""Fused Pallas path-tracing megakernel.
+
+The TPU rewrite of the reference's entire hot region — the per-ray recursion
+of intersection (reference: src/latest/rayweek1.cpp:152-339), scatter
+(:396-512), and radiance (:515-536) — as ONE Pallas kernel per ray tile:
+
+* grid over tiles of T rays, each tile living in VMEM/vector registers for its
+  whole path — bounce state never round-trips HBM;
+* sphere SoA staged in SMEM (a few KB; the analog of the reference keeping the
+  SoA resident in L1) and broadcast scalar-by-scalar into (sublane, lane)
+  vector ops across the whole ray tile — the reference's 8-wide AVX2 pass
+  becomes a T-wide VPU pass;
+* the movemask "collect positive discriminants" compaction (rayweek1.cpp:
+  205-226) is replaced by a dense running (best_t, payload) select — branchy
+  compaction is exactly what the VPU cannot do, masked selection is what it
+  does at full width. Payloads are packed to minimize selects per sphere:
+  albedo as 3x8 bits in one float (exact in the 24-bit mantissa; the scenes'
+  albedos are 8-bit-derived), material type + parameter as mt*32+param;
+* per-tile early exit: the bounce loop stops when every ray in the *tile* is
+  dead. Consecutive ray ids are spatially coherent (ray_id enumerates
+  pixel-major), so whole tiles die together — this recovers most of the
+  recursion's early-return without any work queue;
+* placeholder spheres are given radius_sq = -1e30, which forces their
+  discriminant negative for every ray — the masked-lane analog of the
+  reference's inv_radius == 0 skip (rayweek1.cpp:291), with zero extra ops.
+
+Scatter and RNG reuse the exact same jnp code as the XLA pipeline
+(render/materials.py, core/rng.py) — Pallas traces it into the kernel, so the
+megakernel matches the reference pipeline by construction (tested against it;
+the albedo quantization is the one knowingly-lossy step, < 1/510 per channel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.render.intersect import HitRecord
+from rays1bench_tpu.render.materials import scatter
+from rays1bench_tpu.render.integrator import sky_color
+from rays1bench_tpu.scene.spheres import PreparedSpheres
+
+LANES = 128
+_BIG = np.float32(3.0e38)
+_INF = np.float32(np.inf)
+
+# Sphere SMEM row layout (see _pack_spheres).
+_CX, _CY, _CZ, _RSQ, _INVR, _ALB, _MTP = range(7)
+NUM_SPHERE_ROWS = 7
+
+
+def _pack_spheres(prep: PreparedSpheres) -> jax.Array:
+    """Stack the hot columns into one (7, S) f32 matrix for SMEM staging.
+
+    - radius_sq of placeholder rows is poisoned to -1e30: their discriminant
+      is negative for every possible ray, so no mask lane is ever needed.
+    - albedo packs to r*65536 + g*256 + b on a 0..255 scale (exact integers
+      within the f32 mantissa).
+    - mat_type and its parameter (fuzz for metal / ref_idx for dielectric —
+      mutually exclusive) pack as mt*32 + param (param < 32 always; ref_idx
+      tops out ~24.2 in the large scene).
+    """
+    q = lambda v: jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0)
+    alb = q(prep.albedo_x) * 65536.0 + q(prep.albedo_y) * 256.0 + q(prep.albedo_z)
+    param = jnp.where(prep.mat_type == 2, prep.ref_idx, prep.fuzz)
+    return jnp.stack([
+        prep.center_x,
+        prep.center_y,
+        prep.center_z,
+        jnp.where(prep.valid > 0.0, prep.radius_sq, -1e30),
+        prep.inv_radius,
+        alb,
+        prep.mat_type.astype(jnp.float32) * 32.0 + param,
+    ])
+
+
+def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *, num_spheres: int,
+            max_bounces: int, t_min: float, seed: int, n_rays: int,
+            tile_rays: int, sub: int, unroll: int):
+    # True global ray ids (arbitrary order — the caller may permute rays for
+    # spatial coherence; ids >= n_rays mark padding lanes).
+    ray_id = rid_ref[...]
+
+    ox0, oy0, oz0 = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx0, dy0, dz0 = dx_ref[...], dy_ref[...], dz_ref[...]
+
+    zero = jnp.zeros((sub, LANES), jnp.float32)
+    one = zero + 1.0
+    alive0 = ray_id < n_rays
+    seed_c = np.uint32(seed)
+    tmin_c = np.float32(t_min)
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        """Running (best_t, payload) sweep over all spheres.
+
+        Cost model: ~29 VPU ops per sphere over the whole ray tile. Misses
+        (disc <= 0) poison sq to +inf, making both roots fall outside any
+        finite comparison — no separate validity mask.
+        """
+        def one_sphere(s, carry):
+            (bt, cx, cy, cz, ivr, alb, mtp) = carry
+            scx = spheres_smem[_CX, s]
+            scy = spheres_smem[_CY, s]
+            scz = spheres_smem[_CZ, s]
+            rsq = spheres_smem[_RSQ, s]
+
+            cox = scx - ox
+            coy = scy - oy
+            coz = scz - oz
+            nb = cox * dx + coy * dy + coz * dz
+            c = cox * cox + coy * coy + coz * coz - rsq
+            disc = nb * nb - c
+            sq = jnp.where(disc > 0.0, jnp.sqrt(jnp.maximum(disc, 0.0)), _INF)
+            t1 = nb - sq                       # -inf on miss
+            t2 = nb + sq                       # +inf on miss
+            t = jnp.where(t1 > tmin_c, t1, t2)  # near root first (ref pass 2)
+            tm = jnp.where(t > tmin_c, t, _INF)
+            better = tm < bt
+            bt = jnp.where(better, tm, bt)
+            cx = jnp.where(better, scx, cx)
+            cy = jnp.where(better, scy, cy)
+            cz = jnp.where(better, scz, cz)
+            ivr = jnp.where(better, spheres_smem[_INVR, s], ivr)
+            alb = jnp.where(better, spheres_smem[_ALB, s], alb)
+            mtp = jnp.where(better, spheres_smem[_MTP, s], mtp)
+            return (bt, cx, cy, cz, ivr, alb, mtp)
+
+        # Manual unroll (Mosaic's fori_loop only supports unroll=1 or full):
+        # the group body issues `unroll` independent candidate chains, giving
+        # the VPU ILP across the serial running-min dependency.
+        def group(g, carry):
+            s0 = g * unroll
+            for k in range(unroll):
+                carry = one_sphere(s0 + k, carry)
+            return carry
+
+        assert num_spheres % unroll == 0, (num_spheres, unroll)
+        init = (zero + _INF, zero, zero, zero, zero, zero, zero)
+        return jax.lax.fori_loop(0, num_spheres // unroll, group, init)
+
+    def bounce(state):
+        (b, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive, cnt) = state
+        cnt = cnt + alive.astype(jnp.int32)
+
+        (bt, cx, cy, cz, ivr, albp, mtp) = intersect(ox, oy, oz, dx, dy, dz)
+        hit = bt < _BIG
+        t = jnp.where(hit, bt, 1.0)
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        nx = (px - cx) * ivr
+        ny = (py - cy) * ivr
+        nz = (pz - cz) * ivr
+
+        # Unpack payloads (amortized: once per bounce, not per sphere).
+        mt_f = jnp.floor(mtp * (1.0 / 32.0))
+        mt_i = mt_f.astype(jnp.int32)
+        mparam = mtp - mt_f * 32.0
+        a_r = jnp.floor(albp * (1.0 / 65536.0))
+        rem = albp - a_r * 65536.0
+        a_g = jnp.floor(rem * (1.0 / 256.0))
+        a_b = rem - a_g * 256.0
+        inv255 = np.float32(1.0 / 255.0)
+
+        # Miss -> sky accumulation (rayweek1.cpp:530-534).
+        skr, skg, skb = sky_color(dx, dy, dz)
+        miss = alive & ~hit
+        rr = rr + jnp.where(miss, ar * skr, 0.0)
+        rg = rg + jnp.where(miss, ag * skg, 0.0)
+        rb = rb + jnp.where(miss, ab * skb, 0.0)
+
+        rec = HitRecord(hit=hit, t=t, px=px, py=py, pz=pz,
+                        nx=nx, ny=ny, nz=nz, mat_type=mt_i,
+                        albedo_x=a_r * inv255, albedo_y=a_g * inv255,
+                        albedo_z=a_b * inv255,
+                        fuzz=mparam, ref_idx=jnp.where(mt_i == 2, mparam, 1.0))
+        (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed_c,
+                                                 ray_id, b)
+        cont = alive & hit & ok & (b < max_bounces)
+        ox = jnp.where(cont, px, ox)
+        oy = jnp.where(cont, py, oy)
+        oz = jnp.where(cont, pz, oz)
+        dx = jnp.where(cont, sx, dx)
+        dy = jnp.where(cont, sy, dy)
+        dz = jnp.where(cont, sz, dz)
+        ar = jnp.where(cont, ar * mr, ar)
+        ag = jnp.where(cont, ag * mg, ag)
+        ab = jnp.where(cont, ab * mb, ab)
+        return (b + 1, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb,
+                cont, cnt)
+
+    # Mosaic cannot carry vectors through scf.while; park the per-ray state
+    # in VMEM scratch refs and carry only scalars (bounce index + any-alive).
+    def run(st_ref):
+        def write_state(state):
+            for i, v in enumerate(state[1:14]):
+                st_ref[i] = v.astype(jnp.float32) if v.dtype == jnp.bool_ else v
+
+        def read_state(b):
+            vals = [st_ref[i] for i in range(13)]
+            return (b,) + tuple(vals[:12]) + (vals[12] > 0.0,)
+
+        write_state((jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
+                     one, one, one, zero, zero, zero, alive0))
+        cnt_ref[...] = jnp.zeros((sub, LANES), jnp.int32)
+
+        def body(carry):
+            b, _ = carry
+            state = read_state(b) + (cnt_ref[...],)
+            state = bounce(state)
+            write_state(state[:14])
+            cnt_ref[...] = state[14]
+            alive_any = jnp.max(jnp.where(state[13], 1, 0))
+            return (b + 1, alive_any)
+
+        jax.lax.while_loop(
+            lambda c: (c[0] <= max_bounces) & (c[1] > 0), body,
+            (jnp.int32(0), jnp.int32(1)))
+
+        final = read_state(jnp.int32(0))
+        rr_ref[...] = final[10]
+        rg_ref[...] = final[11]
+        rb_ref[...] = final[12]
+
+    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_rays", "unroll", "interpret"))
+def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
+                 cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
+                 interpret: bool = False
+                 ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Trace N primary rays through the megakernel.
+
+    Rays beyond cfg.num_primary_rays are treated as padding (never alive,
+    never counted); N must be a multiple of tile_rays. Returns
+    ((rr, rg, rb) f32[N], num_rays uint32). Semantically matches
+    render.integrator.trace (tested against it in tests/test_megakernel.py).
+    """
+    n = ox.shape[0]
+    assert n % tile_rays == 0, (n, tile_rays)
+    sub = tile_rays // LANES
+    num_tiles = n // tile_rays
+    n_active = min(n, cfg.num_primary_rays)
+
+    packed = _pack_spheres(spheres)
+    shape2 = (num_tiles * sub, LANES)
+    as2d = lambda a: a.reshape(shape2)
+
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel,
+        num_spheres=spheres.count,
+        max_bounces=cfg.max_bounces,
+        t_min=cfg.t_min,
+        seed=cfg.seed,
+        n_rays=n_active,
+        tile_rays=tile_rays,
+        sub=sub,
+        unroll=unroll,
+    )
+    rr, rg, rb, cnt = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            ray_spec,
+        ],
+        out_specs=(
+            ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+        ),
+        interpret=interpret,
+    )(packed, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy), as2d(dz),
+      as2d(ray_id))
+
+    return (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
+        jnp.sum(cnt).astype(jnp.uint32)

@@ -1,0 +1,137 @@
+"""Megakernel-backed render pipeline.
+
+Same contract as render.pipeline.render_image (raygen -> trace -> assemble,
+identical RNG lattice), with the wavefront loop fused into the Pallas
+megakernel.
+
+Ray ordering: the kernel exits a tile early only when EVERY ray in it is dead,
+so rays are fed in 2D-pixel-tile order — each kernel tile covers a compact
+tw x th pixel block (all spp samples together), the TPU analog of the
+reference's 32x32 thread tiles (rayweek1.cpp:855-856). Spatially compact tiles
+die together (a sky tile exits after one bounce), which is where the
+early-exit win comes from. The stateless RNG keys off the TRUE ray id, so the
+permutation cannot change the image.
+
+When the tile grid divides the image exactly, the permutation is a pure
+reshape/transpose both ways (fast on TPU); otherwise a static-index gather
+unpermutes the result (TPU gathers are slow — only small/odd-shaped images
+take that path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rays1bench_tpu.core import rng as rng_mod
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.kernels.megakernel import trace_pallas
+from rays1bench_tpu.render.camera import Camera
+from rays1bench_tpu.scene.soa_spheres import SphereSOA
+from rays1bench_tpu.scene.spheres import prepare
+
+
+def _pick_tile_shape(width: int, height: int, pixels_per_tile: int
+                     ) -> Optional[Tuple[int, int]]:
+    """Find (tw, th) with tw*th == pixels_per_tile, tw | width, th | height.
+    Prefers squarish tiles. Returns None if no exact tiling exists."""
+    best = None
+    tw = 1
+    while tw <= pixels_per_tile:
+        th = pixels_per_tile // tw
+        if tw * th == pixels_per_tile and width % tw == 0 and height % th == 0:
+            score = abs(np.log2(tw) - np.log2(th))
+            if best is None or score < best[0]:
+                best = (score, tw, th)
+        tw *= 2
+    return (best[1], best[2]) if best else None
+
+
+@functools.lru_cache(maxsize=32)
+def _tile_order(width: int, height: int, spp: int, tile_rays: int):
+    """Static ray permutation: kernel slot -> true ray id.
+
+    Slots enumerate (pixel-tile, pixel-in-tile row-major, sample). Returns
+    (ids, x, y, inv, exact): numpy arrays + whether the grid tiles the image
+    exactly (inv is None in that case; use the transpose path).
+    """
+    n = width * height * spp
+    pixels_per_tile = max(tile_rays // spp, 1)
+    shape = _pick_tile_shape(width, height, pixels_per_tile)
+    exact = shape is not None
+    if not exact:
+        # fall back to a padded, squarish power-of-two tile
+        tw = 2 ** int(np.floor(np.log2(max(8, int(np.sqrt(pixels_per_tile))))))
+        tw = min(tw, pixels_per_tile)
+        th = pixels_per_tile // tw
+    else:
+        tw, th = shape
+    gx = -(-width // tw)
+    gy = -(-height // th)
+
+    ty, tx = np.mgrid[0:gy, 0:gx]
+    py, px = np.mgrid[0:th, 0:tw]
+    s = np.arange(spp)
+    x = np.broadcast_to(tx[:, :, None, None, None] * tw +
+                        px[None, None, :, :, None], (gy, gx, th, tw, spp)).reshape(-1)
+    y = np.broadcast_to(ty[:, :, None, None, None] * th +
+                        py[None, None, :, :, None], (gy, gx, th, tw, spp)).reshape(-1)
+    ss = np.broadcast_to(s[None, None, None, None, :],
+                         (gy, gx, th, tw, spp)).reshape(-1)
+    valid = (x < width) & (y < height)
+    ids = np.where(valid, (y * width + x) * spp + ss, n).astype(np.int32)
+    x = np.where(valid, x, 0).astype(np.int32)
+    y = np.where(valid, y, 0).astype(np.int32)
+    if exact:
+        inv = None
+    else:
+        inv = np.empty(n, dtype=np.int32)
+        inv[ids[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    return ids, x, y, inv, (gy, gx, th, tw)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile_rays", "unroll"))
+def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
+                        cfg: RenderConfig, tile_rays: int = 2048,
+                        unroll: int = 16) -> Tuple[jax.Array, jax.Array]:
+    """Render a linear-radiance float image via the Pallas megakernel.
+
+    Matches render_image() (same RNG lattice per ray id; albedo quantized to
+    8 bits inside the kernel — see megakernel._pack_spheres)."""
+    spheres = prepare(spheres_soa)
+    n = cfg.num_primary_rays
+
+    ids_np, x_np, y_np, inv_np, (gy, gx, th, tw) = _tile_order(
+        cfg.width, cfg.height, cfg.spp, tile_rays)
+    ray_id = jnp.asarray(ids_np)
+    x = jnp.asarray(x_np).astype(jnp.float32)
+    y = jnp.asarray(y_np).astype(jnp.float32)
+
+    seed = jnp.uint32(cfg.seed)
+    ju = rng_mod.uniform01(seed, ray_id, jnp.int32(-1),
+                           rng_mod.Slots.PIXEL_JITTER_U)
+    jv = rng_mod.uniform01(seed, ray_id, jnp.int32(-1),
+                           rng_mod.Slots.PIXEL_JITTER_V)
+    s = (x + ju) * jnp.float32(1.0 / cfg.width)
+    t = (y + jv) * jnp.float32(1.0 / cfg.height)
+    ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
+
+    (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy, dz,
+                                          ray_id, cfg, tile_rays=tile_rays,
+                                          unroll=unroll)
+
+    def unpermute(a):
+        if inv_np is None:
+            # (gy, gx, th, tw, spp) -> (gy, th, gx, tw, spp) == (H, W, spp)
+            return a.reshape(gy, gx, th, tw, cfg.spp).transpose(
+                0, 2, 1, 3, 4).reshape(cfg.height, cfg.width, cfg.spp)
+        inv = jnp.asarray(inv_np)
+        return jnp.take(a, inv).reshape(cfg.height, cfg.width, cfg.spp)
+
+    rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
+    image = rad.mean(axis=2)
+    return image, num_rays

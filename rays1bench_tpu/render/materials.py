@@ -97,5 +97,7 @@ def scatter(dx, dy, dz, rec: HitRecord, seed, ray_id, bounce):
     # Dielectric attenuation is (1,1,1) (rayweek1.cpp:470); its albedo columns
     # are stored as 1, so the albedo select is uniform.
     ar, ag, ab = rec.albedo_x, rec.albedo_y, rec.albedo_z
-    ok = jnp.where(is_metal, metal_ok, True)
+    # Pure boolean form (a where() over a literal True bool has no Mosaic
+    # lowering): only metals can absorb (rayweek1.cpp:433).
+    ok = metal_ok | ~is_metal
     return (sx, sy, sz), (ar, ag, ab), ok

@@ -1,0 +1,107 @@
+"""Megakernel tests (interpreter mode on CPU).
+
+The Pallas megakernel must match the XLA wavefront integrator exactly, except
+for its 8-bit albedo quantization (megakernel._pack_spheres) — so comparisons
+use exact ray counts and tight-but-not-bitwise radiance tolerances on scenes
+with 8-bit-exact albedos, and bitwise equality when albedos quantize exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rays1bench_tpu.core import rng as rng_mod
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.kernels.megakernel import trace_pallas, _pack_spheres
+from rays1bench_tpu.render.integrator import trace
+from rays1bench_tpu.scene.builders import create_small_scene, create_medium_scene
+from rays1bench_tpu.scene.spheres import prepare
+
+
+def _primary_rays(cfg, scene):
+    cam = scene.camera.build()
+    n = cfg.num_primary_rays
+    ray_id = jnp.arange(n, dtype=jnp.int32)
+    pix = ray_id // cfg.spp
+    x = (pix % cfg.width).astype(jnp.float32)
+    y = (pix // cfg.width).astype(jnp.float32)
+    seed = jnp.uint32(cfg.seed)
+    ju = rng_mod.uniform01(seed, ray_id, jnp.int32(-1),
+                           rng_mod.Slots.PIXEL_JITTER_U)
+    jv = rng_mod.uniform01(seed, ray_id, jnp.int32(-1),
+                           rng_mod.Slots.PIXEL_JITTER_V)
+    return ray_id, cam.generate_rays((x + ju) / cfg.width,
+                                     (y + jv) / cfg.height, seed, ray_id)
+
+
+@pytest.mark.parametrize("builder", [create_small_scene, create_medium_scene])
+def test_megakernel_matches_integrator(builder):
+    cfg = RenderConfig(width=64, height=32, spp=1, max_bounces=8, seed=7)
+    scene = builder(cfg.aspect)
+    prep = prepare(scene.spheres)
+    ray_id, rays = _primary_rays(cfg, scene)
+
+    (ar, ag, ab), n_x = trace(prep, *rays, jnp.uint32(cfg.seed), ray_id,
+                              max_bounces=cfg.max_bounces)
+    (br, bg, bb), n_p = trace_pallas(prep, *rays, ray_id, cfg,
+                                     tile_rays=1024, unroll=4, interpret=True)
+    assert int(n_x) == int(n_p)          # identical alive/dead trajectories
+    for a, b in zip((ar, ag, ab), (br, bg, bb)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        # Radiance differs only through 8-bit albedo quantization, compounded
+        # over <= 9 bounces.
+        assert d.max() < 0.02, d.max()
+        assert d.mean() < 2e-3
+
+
+def test_megakernel_padding_lanes_inactive():
+    cfg = RenderConfig(width=24, height=16, spp=1, max_bounces=4, seed=3)
+    scene = create_small_scene(cfg.aspect)
+    prep = prepare(scene.spheres)
+    ray_id, rays = _primary_rays(cfg, scene)
+    # pad to one 1024-tile: 384 active + 640 padding
+    pad = 1024 - cfg.num_primary_rays
+    rays_p = tuple(jnp.pad(a, (0, pad)) for a in rays)
+    rid_p = jnp.pad(ray_id, (0, pad), constant_values=10 ** 7)
+    (rr, rg, rb), n = trace_pallas(prep, *rays_p, rid_p, cfg,
+                                   tile_rays=1024, unroll=4, interpret=True)
+    (er, eg, eb), n_ref = trace(prep, *rays, jnp.uint32(cfg.seed), ray_id,
+                                max_bounces=cfg.max_bounces)
+    assert int(n) == int(n_ref)          # padding never counted
+    assert np.asarray(rr)[cfg.num_primary_rays:].sum() == 0
+
+
+def test_pack_spheres_placeholder_poison():
+    scene = create_small_scene(16 / 9)
+    packed = np.asarray(_pack_spheres(prepare(scene.spheres)))
+    assert packed.shape == (7, 128)
+    # placeholder rows: radius_sq poisoned so the discriminant is always < 0
+    assert (packed[3, 5:] < -1e29).all()
+    # real rows keep radius_sq
+    assert np.isclose(packed[3, 0], 0.25)
+
+
+def test_pipeline_matches_xla_pipeline():
+    from rays1bench_tpu.kernels import pipeline as kp
+    from rays1bench_tpu.render.pipeline import render_image
+
+    cfg = RenderConfig(width=64, height=32, spp=2, max_bounces=6,
+                       ray_chunk=4096, seed=11)
+    scene = create_small_scene(cfg.aspect)
+    cam = scene.camera.build()
+    ref, n_ref = render_image(scene.spheres, cam, cfg)
+
+    # interpret path: call trace_pallas through the pipeline's permutation
+    import functools
+    orig = kp.trace_pallas
+    kp.render_image_pallas._clear_cache()
+    try:
+        kp.trace_pallas = functools.partial(orig, interpret=True)
+        img, n = kp.render_image_pallas(scene.spheres, cam, cfg,
+                                        tile_rays=1024, unroll=4)
+    finally:
+        kp.trace_pallas = orig
+        kp.render_image_pallas._clear_cache()
+    assert int(n) == int(n_ref)
+    d = np.abs(np.asarray(img) - np.asarray(ref))
+    assert d.max() < 0.02 and d.mean() < 2e-3
