@@ -20,9 +20,6 @@ import os
 import sys
 import time
 
-# Persistent compilation cache: the driver re-runs this each round.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rays1bench_jax_cache")
-
 BASELINE_MRAYS = 59.362  # reference step13 MT, large scene (README.md:52)
 
 
@@ -37,6 +34,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from rays1bench_tpu.core.cache import enable as enable_compile_cache
+    enable_compile_cache()  # remote kernel compiles take minutes; cache them
     from rays1bench_tpu.core.config import RenderConfig
     from rays1bench_tpu.kernels.pipeline import render_image_pallas as render_image
     from rays1bench_tpu.render.pipeline import to_srgb_u8

@@ -17,7 +17,6 @@ from typing import List, Optional
 import jax
 
 from rays1bench_tpu.core.config import RenderConfig
-from rays1bench_tpu.render.pipeline import render_image, to_srgb_u8
 from rays1bench_tpu.version import VERSION_NAME
 
 
@@ -67,8 +66,10 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
 
     if write_tga:
         import numpy as np
-        from rays1bench_tpu.scene import tga
-        tga.write_rgb24(write_tga, np.asarray(to_srgb_u8(img)))
+        from rays1bench_tpu.runtime import native
+        # Host-side finishing via the native runtime: tonemap + TGA encode
+        # (C++; falls back to Python automatically).
+        native.tga_write_rgb24(write_tga, native.tonemap_u8(np.asarray(img)))
     return results
 
 

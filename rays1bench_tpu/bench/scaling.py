@@ -1,0 +1,88 @@
+"""Scaling sweep: rays/s vs device count.
+
+BASELINE target: > 60% linear scaling 1 chip -> v5e-16. Real multi-chip
+hardware isn't present in this environment, so the sweep runs on whatever
+mesh is available (virtual CPU devices for CI; real chips when on a pod
+slice). Rendering is embarrassingly parallel with the scene replicated — the
+only cross-device traffic is the psum'd ray counter — so measured efficiency
+on real hardware is limited by per-chip underutilization at small shards, not
+communication (SURVEY.md §7.3).
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python -m rays1bench_tpu.bench.scaling --scene medium --spp 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import List
+
+import jax
+
+from rays1bench_tpu.utils.metrics import ScalingPoint, scaling_efficiency
+
+
+def sweep(scene_name: str, cfg, device_counts: List[int],
+          runs: int = 2) -> List[ScalingPoint]:
+    # Imported here: pulling in the scene/renderer modules initializes the
+    # JAX backend (pytree registration touches it), which must happen AFTER
+    # any jax_platforms override in main().
+    from rays1bench_tpu.parallel.mesh import make_mesh
+    from rays1bench_tpu.parallel.shard import render_image_sharded
+    from rays1bench_tpu.scene import builders
+    scene = builders.SCENES[scene_name](cfg.aspect)
+    camera = scene.camera.build()
+    points = []
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        img, num = render_image_sharded(scene.spheres, camera, cfg, mesh)
+        float(img.sum())  # compile + sync
+        best = float("inf")
+        for i in range(runs):
+            import dataclasses
+            sph = dataclasses.replace(
+                scene.spheres, center_x=scene.spheres.center_x + (i + 1) * 1e-7)
+            t0 = time.perf_counter()
+            img, num = render_image_sharded(sph, camera, cfg, mesh)
+            float(img.sum())
+            best = min(best, time.perf_counter() - t0)
+        points.append(ScalingPoint(nd, int(num), best))
+    return points
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="medium")
+    ap.add_argument("--width", type=int, default=400)
+    ap.add_argument("--height", type=int, default=200)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--max-bounces", type=int, default=10)
+    ap.add_argument("--devices", default="")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the env pins the TPU plugin; "
+                         "combine with XLA_FLAGS=--xla_force_host_platform_"
+                         "device_count=N for an N-device virtual mesh)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    n = len(jax.devices())
+    req = [int(x) for x in args.devices.split(",") if x]
+    if req and max(req) > n:
+        raise SystemExit(f"requested more devices than available ({n})")
+    counts = ([int(x) for x in args.devices.split(",") if x]
+              or [c for c in (1, 2, 4, 8, 16) if c <= n])
+    from rays1bench_tpu.core.config import RenderConfig
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_bounces=args.max_bounces, ray_chunk=16384)
+    points = sweep(args.scene, cfg, counts, runs=args.runs)
+    effs = scaling_efficiency(points)
+    print(f"{'devices':>8} {'mrays/s':>10} {'efficiency':>10}")
+    for p, e in zip(points, effs):
+        print(f"{p.n_devices:>8} {p.mrays:>10.2f} {e:>10.2%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,14 +72,20 @@ def uniform02(seed, ray_id, bounce, slot):
     return uniform01(seed, ray_id, bounce, slot) * np.float32(2.0)
 
 
-def _gaussian_pair(seed, ray_id, bounce, slot):
-    """Two iid standard normals via Box-Muller from slots (slot, slot+1)."""
-    u1 = uniform01(seed, ray_id, bounce, slot)
-    u2 = uniform01(seed, ray_id, bounce, slot + 1)
-    # Guard u1 > 0 so log() is finite: shift into (2^-25, 1].
-    r = jnp.sqrt(np.float32(-2.0) * jnp.log1p(-u1 + np.float32(2.0 ** -25)))
-    theta = _TWO_PI * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta)
+_INV_2_16 = np.float32(1.0 / 65536.0)
+
+
+def uniform_pair16(seed, ray_id, bounce, slot):
+    """TWO uniforms in [0,1) at 16-bit resolution from ONE hash.
+
+    The hash chain (3 PCG rounds, ~35 integer ops) dominates RNG cost on the
+    VPU; splitting the 32 output bits halves it. 16-bit resolution is ample
+    for jitter/angle draws (the reference itself only keeps 24 bits,
+    mymath.h:27-30)."""
+    bits = hash_bits(seed, ray_id, bounce, slot)
+    u = (bits & np.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32) * _INV_2_16
+    v = (bits >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32) * _INV_2_16
+    return u, v
 
 
 def in_unit_ball(seed, ray_id, bounce, slot0=0):
@@ -87,34 +93,38 @@ def in_unit_ball(seed, ray_id, bounce, slot0=0):
 
     The reference rejects uniform cube samples (mymath.h:224-235,
     random_in_unit_sphere) — an unbounded data-dependent loop that can't live
-    under jit. Same distribution analytically: an isotropic direction (normalized
-    3-gaussian) scaled by cbrt(u), so volume is uniform. Uses slots
-    slot0..slot0+4.
+    under jit. Same distribution analytically: an isotropic direction from
+    (z, phi) area sampling, scaled by cbrt(w) so volume is uniform. Uses slots
+    slot0 (pair16) and slot0+1 — two hashes total.
     """
-    gx, gy = _gaussian_pair(seed, ray_id, bounce, slot0)
-    gz, _ = _gaussian_pair(seed, ray_id, bounce, slot0 + 2)
-    u = uniform01(seed, ray_id, bounce, slot0 + 4)
-    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    # cbrt(u) as exp(log(u)/3): cbrt has no Mosaic (Pallas TPU) lowering, and
-    # this form is exact to ulp-level for u in (0,1]. Clamp keeps log finite.
-    cbrt_u = jnp.exp(jnp.log(jnp.maximum(u, np.float32(1e-30))) * np.float32(1.0 / 3.0))
-    # norm == 0 has probability ~0 but would give NaN; clamp.
-    scale = cbrt_u / jnp.maximum(norm, np.float32(1e-20))
-    return gx * scale, gy * scale, gz * scale
+    u, v = uniform_pair16(seed, ray_id, bounce, slot0)
+    w = uniform01(seed, ray_id, bounce, slot0 + 1)
+    z = 2.0 * u - 1.0
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = _TWO_PI * v
+    # cbrt(w) as exp(log(w)/3): cbrt has no Mosaic (Pallas TPU) lowering, and
+    # this form is exact to ulp-level for w in (0,1]. Clamp keeps log finite.
+    r = jnp.exp(jnp.log(jnp.maximum(w, np.float32(1e-30))) * np.float32(1.0 / 3.0))
+    return r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z
 
 
 def in_unit_disk(seed, ray_id, bounce, slot0=0):
     """Uniform point inside the unit disk (x, y components).
 
     Replaces the reference's rejection loop random_in_unit_disk
-    (rayweek1.cpp:353-362) with the analytic polar map. Uses slots
-    slot0, slot0+1.
+    (rayweek1.cpp:353-362) with the analytic polar map. One hash (pair16) at
+    slot0.
     """
-    u = uniform01(seed, ray_id, bounce, slot0)
-    v = uniform01(seed, ray_id, bounce, slot0 + 1)
+    u, v = uniform_pair16(seed, ray_id, bounce, slot0)
     r = jnp.sqrt(u)
     theta = _TWO_PI * v
     return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def pixel_jitter(seed, ray_id):
+    """Film-plane AA jitter (ju, jv) in [0,1)^2 — the uv jitter of
+    rayweek1.cpp:757-759, one hash on the bounce == -1 lattice row."""
+    return uniform_pair16(seed, ray_id, jnp.int32(-1), Slots.PIXEL_JITTER_U)
 
 
 # Reserved draw-slot layout per (ray, bounce). Keeping slots disjoint and fixed

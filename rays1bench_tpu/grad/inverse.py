@@ -97,18 +97,33 @@ def make_train_step(spheres_template: SphereSOA, camera: Camera,
 
 def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
               cfg: RenderConfig, inv: Optional[InverseConfig] = None,
-              mesh=None, verbose: bool = False):
+              mesh=None, verbose: bool = False,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 50):
     """Adam-fit scene parameters to a target image.
 
-    Returns (fitted_spheres, losses list)."""
+    With checkpoint_path set, optimizer state persists every
+    `checkpoint_every` steps and the fit resumes from an existing checkpoint
+    (grad/checkpoint.py). Returns (fitted_spheres, losses list)."""
+    import os
+    from rays1bench_tpu.grad import checkpoint as ckpt
+
     inv = inv or InverseConfig()
     step, optimizer = make_train_step(spheres0, camera, cfg, inv, mesh)
     params = params_of(spheres0, inv.optimize)
     opt_state = optimizer.init(params)
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, start = ckpt.restore(checkpoint_path, opt_state)
+        if verbose:
+            print(f"resumed from {checkpoint_path} at step {start}")
     losses = []
-    for i in range(inv.steps):
+    for i in range(start, inv.steps):
         params, opt_state, loss = step(params, opt_state, target)
         losses.append(float(loss))
         if verbose and (i % 10 == 0 or i == inv.steps - 1):
             print(f"step {i:4d}  loss {losses[-1]:.6g}")
+        if checkpoint_path and ((i + 1) % checkpoint_every == 0
+                                or i == inv.steps - 1):
+            ckpt.save(checkpoint_path, params, opt_state, i + 1)
     return with_params(spheres0, params), losses

@@ -81,10 +81,12 @@ def _pack_spheres(prep: PreparedSpheres) -> jax.Array:
     ])
 
 
-def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref,
             rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *, num_spheres: int,
             max_bounces: int, t_min: float, seed: int, n_rays: int,
-            tile_rays: int, sub: int, unroll: int):
+            tile_rays: int, sub: int, unroll: int, chunk_size: int,
+            use_cull: bool):
     # True global ray ids (arbitrary order — the caller may permute rays for
     # spatial coherence; ids >= n_rays mark padding lanes).
     ray_id = rid_ref[...]
@@ -98,13 +100,10 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     seed_c = np.uint32(seed)
     tmin_c = np.float32(t_min)
 
-    def intersect(ox, oy, oz, dx, dy, dz):
-        """Running (best_t, payload) sweep over all spheres.
-
-        Cost model: ~29 VPU ops per sphere over the whole ray tile. Misses
-        (disc <= 0) poison sq to +inf, making both roots fall outside any
-        finite comparison — no separate validity mask.
-        """
+    def make_sphere_step(ox, oy, oz, dx, dy, dz):
+        """Per-sphere running (best_t, payload) update, ~29 VPU ops over the
+        whole ray tile. Misses (disc <= 0) poison sq to +inf, so both roots
+        fall outside any finite comparison — no separate validity mask."""
         def one_sphere(s, carry):
             (bt, cx, cy, cz, ivr, alb, mtp) = carry
             scx = spheres_smem[_CX, s]
@@ -132,10 +131,18 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             alb = jnp.where(better, spheres_smem[_ALB, s], alb)
             mtp = jnp.where(better, spheres_smem[_MTP, s], mtp)
             return (bt, cx, cy, cz, ivr, alb, mtp)
+        return one_sphere
 
-        # Manual unroll (Mosaic's fori_loop only supports unroll=1 or full):
-        # the group body issues `unroll` independent candidate chains, giving
-        # the VPU ILP across the serial running-min dependency.
+    _INIT = lambda: (zero + _INF, zero, zero, zero, zero, zero, zero)
+
+    def intersect(ox, oy, oz, dx, dy, dz, best_ref):
+        """Dense sweep over all spheres (no culling).
+
+        Manual unroll (Mosaic's fori_loop only supports unroll=1 or full):
+        the group body issues `unroll` independent candidate chains, giving
+        the VPU ILP across the serial running-min dependency."""
+        one_sphere = make_sphere_step(ox, oy, oz, dx, dy, dz)
+
         def group(g, carry):
             s0 = g * unroll
             for k in range(unroll):
@@ -143,14 +150,69 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return carry
 
         assert num_spheres % unroll == 0, (num_spheres, unroll)
-        init = (zero + _INF, zero, zero, zero, zero, zero, zero)
-        return jax.lax.fori_loop(0, num_spheres // unroll, group, init)
+        return jax.lax.fori_loop(0, num_spheres // unroll, group, _INIT())
+
+    def intersect_culled(ox, oy, oz, dx, dy, dz, best_ref):
+        """Chunked sweep with bounding-sphere culling (kernels/culling.py).
+
+        For each chunk of `chunk_size` Morton-sorted spheres, one vector test
+        decides whether ANY ray in the tile can hit the chunk's bound; culled
+        chunks skip their whole sphere loop. Running best/payload state lives
+        in the VMEM scratch ref because Mosaic's scf.if cannot yield vectors.
+        Placeholder chunks have bound radius^2 = -1e30, so padding is skipped
+        for free — the chunked generalization of the reference's placeholder
+        skip (rayweek1.cpp:291)."""
+        one_sphere = make_sphere_step(ox, oy, oz, dx, dy, dz)
+        init = _INIT()
+        for i in range(7):
+            best_ref[i] = init[i]
+
+        num_chunks = num_spheres // chunk_size
+        cun = min(unroll, chunk_size)
+        assert chunk_size % cun == 0
+
+        def chunk_body(ch, _):
+            bcx = bounds_smem[0, ch]
+            bcy = bounds_smem[1, ch]
+            bcz = bounds_smem[2, ch]
+            brsq = bounds_smem[3, ch]
+            cox = bcx - ox
+            coy = bcy - oy
+            coz = bcz - oz
+            nb = cox * dx + coy * dy + coz * dz
+            cb = cox * cox + coy * coy + coz * coz - brsq
+            discb = nb * nb - cb
+            # Possible hit iff the far root is in front: covers origin-inside
+            # (cb < 0) and ahead-of-ray cases.
+            possible = (discb > 0.0) & (nb + jnp.sqrt(jnp.maximum(discb, 0.0)) > tmin_c)
+            any_p = jnp.max(jnp.where(possible, 1, 0))
+
+            @pl.when(any_p > 0)
+            def _():
+                carry = tuple(best_ref[i] for i in range(7))
+
+                def group(g, carry):
+                    s0 = ch * chunk_size + g * cun
+                    for k in range(cun):
+                        carry = one_sphere(s0 + k, carry)
+                    return carry
+
+                carry = jax.lax.fori_loop(0, chunk_size // cun, group, carry)
+                for i in range(7):
+                    best_ref[i] = carry[i]
+
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        return tuple(best_ref[i] for i in range(7))
 
     def bounce(state):
         (b, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive, cnt) = state
         cnt = cnt + alive.astype(jnp.int32)
 
-        (bt, cx, cy, cz, ivr, albp, mtp) = intersect(ox, oy, oz, dx, dy, dz)
+        isect = intersect_culled if use_cull else intersect
+        (bt, cx, cy, cz, ivr, albp, mtp) = isect(ox, oy, oz, dx, dy, dz,
+                                                 bounce.best_ref)
         hit = bt < _BIG
         t = jnp.where(hit, bt, 1.0)
         px = ox + t * dx
@@ -199,7 +261,9 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     # Mosaic cannot carry vectors through scf.while; park the per-ray state
     # in VMEM scratch refs and carry only scalars (bounce index + any-alive).
-    def run(st_ref):
+    def run(st_ref, best_ref):
+        bounce.best_ref = best_ref
+
         def write_state(state):
             for i, v in enumerate(state[1:14]):
                 st_ref[i] = v.astype(jnp.float32) if v.dtype == jnp.bool_ else v
@@ -230,14 +294,16 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         rg_ref[...] = final[11]
         rb_ref[...] = final[12]
 
-    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32))
+    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32),
+                  pltpu.VMEM((7, sub, LANES), jnp.float32))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "tile_rays", "unroll", "interpret"))
+                   static_argnames=("cfg", "tile_rays", "unroll",
+                                    "chunk_size", "interpret"))
 def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                  cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
-                 interpret: bool = False
+                 bounds=None, chunk_size: int = 32, interpret: bool = False
                  ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Trace N primary rays through the megakernel.
 
@@ -245,6 +311,10 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     never counted); N must be a multiple of tile_rays. Returns
     ((rr, rg, rb) f32[N], num_rays uint32). Semantically matches
     render.integrator.trace (tested against it in tests/test_megakernel.py).
+
+    `bounds` (float32[4, S/chunk_size], from kernels.culling.chunk_bounds over
+    Morton-sorted spheres) enables chunk culling; spheres must already be in
+    the sorted order the bounds were computed for.
     """
     n = ox.shape[0]
     assert n % tile_rays == 0, (n, tile_rays)
@@ -253,6 +323,9 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     n_active = min(n, cfg.num_primary_rays)
 
     packed = _pack_spheres(spheres)
+    use_cull = bounds is not None
+    if not use_cull:
+        bounds = jnp.zeros((4, 1), jnp.float32)
     shape2 = (num_tiles * sub, LANES)
     as2d = lambda a: a.reshape(shape2)
 
@@ -268,12 +341,16 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         tile_rays=tile_rays,
         sub=sub,
         unroll=unroll,
+        chunk_size=chunk_size,
+        use_cull=use_cull,
     )
     rr, rg, rb, cnt = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec,
@@ -290,8 +367,8 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
             jax.ShapeDtypeStruct(shape2, jnp.int32),
         ),
         interpret=interpret,
-    )(packed, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy), as2d(dz),
-      as2d(ray_id))
+    )(packed, bounds, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy),
+      as2d(dz), as2d(ray_id))
 
     return (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
         jnp.sum(cnt).astype(jnp.uint32)

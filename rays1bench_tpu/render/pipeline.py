@@ -42,9 +42,8 @@ def _trace_chunk(spheres, camera: Camera, ray_id, active, seed, cfg: RenderConfi
     x = (pixel % jnp.int32(cfg.width)).astype(jnp.float32)
     y = (pixel // jnp.int32(cfg.width)).astype(jnp.float32)
 
-    # Film jitter: uv = (rand01 + xy) / (W, H)  (rayweek1.cpp:757-759).
-    ju = rng_mod.uniform01(seed, ray_id, jnp.int32(-1), rng_mod.Slots.PIXEL_JITTER_U)
-    jv = rng_mod.uniform01(seed, ray_id, jnp.int32(-1), rng_mod.Slots.PIXEL_JITTER_V)
+    # Film jitter: uv = (rand + xy) / (W, H)  (rayweek1.cpp:757-759).
+    ju, jv = rng_mod.pixel_jitter(seed, ray_id)
     s = (x + ju) * jnp.float32(1.0 / cfg.width)
     t = (y + jv) * jnp.float32(1.0 / cfg.height)
 

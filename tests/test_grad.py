@@ -55,7 +55,7 @@ def test_fd_gradients_center_radius_albedo():
 
     for name, idx, analytic, numeric, abs_err, rel_err in fd_check(
             f, params, [(n, 0) for n in names], eps=1e-3):
-        if abs(numeric) < 1e-6:
+        if abs(numeric) < 5e-6:
             # Below the f32 FD noise floor (e.g. center_x reflects into a
             # horizontally-uniform sky: true gradient ~ 0).
             assert abs(analytic) < 1e-4, f"{name}: analytic={analytic:.3e}"

@@ -26,10 +26,7 @@ def _primary_rays(cfg, scene):
     x = (pix % cfg.width).astype(jnp.float32)
     y = (pix // cfg.width).astype(jnp.float32)
     seed = jnp.uint32(cfg.seed)
-    ju = rng_mod.uniform01(seed, ray_id, jnp.int32(-1),
-                           rng_mod.Slots.PIXEL_JITTER_U)
-    jv = rng_mod.uniform01(seed, ray_id, jnp.int32(-1),
-                           rng_mod.Slots.PIXEL_JITTER_V)
+    ju, jv = rng_mod.pixel_jitter(seed, ray_id)
     return ray_id, cam.generate_rays((x + ju) / cfg.width,
                                      (y + jv) / cfg.height, seed, ray_id)
 
@@ -91,17 +88,20 @@ def test_pipeline_matches_xla_pipeline():
     cam = scene.camera.build()
     ref, n_ref = render_image(scene.spheres, cam, cfg)
 
-    # interpret path: call trace_pallas through the pipeline's permutation
+    # interpret path: call trace_pallas through the pipeline's permutation,
+    # in every cull mode — none of them may change the image.
     import functools
     orig = kp.trace_pallas
-    kp.render_image_pallas._clear_cache()
+    kp._render_jit._clear_cache()
     try:
         kp.trace_pallas = functools.partial(orig, interpret=True)
-        img, n = kp.render_image_pallas(scene.spheres, cam, cfg,
-                                        tile_rays=1024, unroll=4)
+        for cull in ("none", "sort_trim", "bounds"):
+            img, n = kp.render_image_pallas(scene.spheres, cam, cfg,
+                                            tile_rays=1024, unroll=4,
+                                            cull=cull, chunk_size=32)
+            assert int(n) == int(n_ref), cull
+            d = np.abs(np.asarray(img) - np.asarray(ref))
+            assert d.max() < 0.02 and d.mean() < 2e-3, cull
     finally:
         kp.trace_pallas = orig
-        kp.render_image_pallas._clear_cache()
-    assert int(n) == int(n_ref)
-    d = np.abs(np.asarray(img) - np.asarray(ref))
-    assert d.max() < 0.02 and d.mean() < 2e-3
+        kp._render_jit._clear_cache()
