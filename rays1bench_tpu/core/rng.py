@@ -121,6 +121,37 @@ def in_unit_disk(seed, ray_id, bounce, slot0=0):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def in_unit_ball_rejection(seed, ray_id, bounce, slot0=0, max_tries=8):
+    """Uniform point in the unit ball via FIXED-COUNT masked rejection — the
+    closest jit-compatible analog of the reference's do/while rejection
+    (mymath.h:224-235): each try draws a cube point, the first in-ball try
+    wins. P(all misses) = (1 - pi/6)^max_tries ~ 0.5% at 8; the (biased)
+    last draw is kept then, scaled into the ball.
+
+    Provided for reference-parity studies; the default analytic sampler
+    (in_unit_ball) has the exact distribution at a third of the cost.
+    """
+    bx = jnp.zeros_like(jnp.asarray(ray_id, dtype=jnp.float32))
+    by, bz = bx, bx
+    found = bx > 1.0  # all-False
+    for k in range(max_tries):
+        u, v = uniform_pair16(seed, ray_id, bounce, slot0 + 2 * k)
+        w, _ = uniform_pair16(seed, ray_id, bounce, slot0 + 2 * k + 1)
+        px = 2.0 * u - 1.0
+        py = 2.0 * v - 1.0
+        pz = 2.0 * w - 1.0
+        inside = px * px + py * py + pz * pz < 1.0
+        take = inside & ~found
+        bx = jnp.where(take, px, bx)
+        by = jnp.where(take, py, by)
+        bz = jnp.where(take, pz, bz)
+        found = found | inside
+    # fallback for never-found lanes: normalize the zero-init safely
+    norm = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-12))
+    scale = jnp.where(found | (norm < 1.0), 1.0, 0.999 / norm)
+    return bx * scale, by * scale, bz * scale
+
+
 def pixel_jitter(seed, ray_id):
     """Film-plane AA jitter (ju, jv) in [0,1)^2 — the uv jitter of
     rayweek1.cpp:757-759, one hash on the bounce == -1 lattice row."""

@@ -1,0 +1,53 @@
+"""Report tooling tests (bench/report.py + report_cli.py vs the reference's
+record format, common.h:64-76 / update_readme.py)."""
+
+import os
+
+from rays1bench_tpu.bench import report
+from rays1bench_tpu.bench.report_cli import generate
+
+
+def test_parse_reference_format():
+    # exact format written by the reference's log_results (common.h:64-76)
+    r = report.parse_record("threads|10.628s|630931100|59.362 mrays/s|")
+    assert r.version == "threads"
+    assert r.seconds == 10.628
+    assert r.rays == 630931100
+    assert r.mrays == 59.362
+
+
+def test_roundtrip_with_our_logger(tmp_path):
+    from rays1bench_tpu.bench.harness import BenchResult, log_results
+    rec = log_results("small", [BenchResult(2.0, 4_000_000),
+                                BenchResult(2.0, 4_000_000)],
+                      version="v", directory=str(tmp_path))
+    assert rec == "v|2.000s|4000000|2.000 mrays/s|"
+    [r] = report.collect([str(tmp_path)], "small")
+    assert r.mrays == 2.0
+
+
+def test_markdown_table_speedups():
+    recs = [report.Record("a", 10.0, 1000, 1.0),
+            report.Record("b", 5.0, 1000, 2.0)]
+    table = report.markdown_table(recs)
+    assert "| 2.00 |" in table      # speedup of b vs a
+    assert "**b**" in table          # last row bolded (update_readme.py style)
+
+
+def test_generate_includes_reference_rows(tmp_path):
+    from rays1bench_tpu.bench.harness import BenchResult, log_results
+    log_results("large", [BenchResult(1.0, 100_000_000)], version="tpu",
+                directory=str(tmp_path))
+    text = generate([str(tmp_path)], ["large"])
+    assert "ref step13 (16 threads)" in text
+    assert "**tpu**" in text
+    # speedup vs ref step1 baseline: 100 / 0.431
+    assert "## large" in text
+
+
+def test_render_template(tmp_path):
+    tpl = tmp_path / "t.md"
+    tpl.write_text("results: __X__")
+    out = tmp_path / "o.md"
+    report.render_template(str(tpl), str(out), {"__X__": "42"})
+    assert out.read_text() == "results: 42"
