@@ -51,8 +51,11 @@ def main():
     scene = builders.SCENES[args.scene](cfg.aspect)
     camera = scene.camera.build()
 
+    render_image_ = lambda sph, cam_, cfg_: render_image(
+        sph, cam_, cfg_, n_real=scene.n_real)
+
     # Warmup (compile).
-    img, num_rays = render_image(scene.spheres, camera, cfg)
+    img, num_rays = render_image_(scene.spheres, camera, cfg)
     float(img.sum())
 
     # Each timed run perturbs one scene leaf by a sub-ulp-of-the-image amount
@@ -64,7 +67,7 @@ def main():
         spheres = _dc.replace(scene.spheres,
                               center_x=scene.spheres.center_x + (i + 1) * 1e-7)
         t0 = time.perf_counter()
-        img, num_rays = render_image(spheres, camera, cfg)
+        img, num_rays = render_image_(spheres, camera, cfg)
         float(img.sum())
         times.append(time.perf_counter() - t0)
 

@@ -45,7 +45,9 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
     repeated identical calls would otherwise time as ~0."""
     if render_fn is None:
         from rays1bench_tpu.kernels.pipeline import render_image_pallas
-        render_fn = render_image_pallas
+        n_real = getattr(scene, "n_real", None) or None
+        render_fn = (lambda sph, cam, cfg_, _nr=n_real:
+                     render_image_pallas(sph, cam, cfg_, n_real=_nr))
     camera = scene.camera.build()
 
     if warmup:  # compile outside the timed region (benchmark() times only

@@ -95,78 +95,71 @@ def _tile_order(width: int, height: int, spp: int, tile_rays: int):
     return ids, x, y, inv, (gy, gx, th, tw)
 
 
-@functools.lru_cache(maxsize=16)
-def _accel_cached(key_bytes: bytes, n: int, chunk_size: int):
-    cols = np.frombuffer(key_bytes, np.float32).reshape(4, n)
-    cx, cy, cz, radius = cols
-    valid = radius != 0
-    perm = culling.morton_order(cx, cy, cz, valid)
-    bounds = culling.chunk_bounds(cx[perm], cy[perm], cz[perm], radius[perm],
-                                  valid[perm], chunk_size)
-    return perm, bounds, int(valid.sum())
-
-
-def scene_accel(spheres_soa: SphereSOA, chunk_size: int):
-    """Host-side culling metadata: (morton permutation, chunk bounds).
-
-    Concrete sphere arrays are pulled to host once per distinct scene
-    (LRU-cached on their byte content — a few KB)."""
-    cols = np.stack([np.asarray(spheres_soa.center_x),
-                     np.asarray(spheres_soa.center_y),
-                     np.asarray(spheres_soa.center_z),
-                     np.asarray(spheres_soa.radius)]).astype(np.float32)
-    return _accel_cached(cols.tobytes(), cols.shape[1], chunk_size)
+def _keep_count(n_real: int, n_padded: int, granule: int) -> int:
+    """Power-of-two row count to keep after sorting (>= granule): odd counts
+    like 496 compile an order of magnitude slower in Mosaic and run worse
+    than the next power of two."""
+    keep = granule
+    while keep < n_real:
+        keep *= 2
+    keep = min(keep, n_padded)
+    return max(-(-keep // granule) * granule, granule)
 
 
 def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
                         cfg: RenderConfig, tile_rays: int = 2048,
                         unroll: int = 16, cull: str = "sort_trim",
-                        chunk_size: int = 64) -> Tuple[jax.Array, jax.Array]:
+                        chunk_size: int = 64,
+                        n_real: Optional[int] = None
+                        ) -> Tuple[jax.Array, jax.Array]:
     """Render a linear-radiance float image via the Pallas megakernel.
 
     Matches render_image() (same RNG lattice per ray id; albedo quantized to
     8 bits inside the kernel — see megakernel._pack_spheres).
 
-    cull modes (host-side precompute in kernels/culling.py; neither changes
-    the image — sorting and dropping placeholder rows cannot change the
-    closest hit):
-      "sort_trim" (default): Morton-sort spheres, drop trailing placeholder
-        padding down to ceil(real/unroll)*unroll rows. The big win for
-        scenes whose padding dominates (small: 128 -> 16 rows).
+    cull modes (device-side precompute in kernels/culling.py, traced into the
+    render jit; neither changes the image — sorting and dropping placeholder
+    rows cannot change the closest hit):
+      "sort_trim" (default): Morton-sort spheres and, when `n_real` (the
+        count of real spheres, e.g. builders.Scene.n_real) is given, drop
+        placeholder padding down to the next power of two (small scene:
+        128 -> 8 rows). n_real must be static — it determines kernel shapes.
       "bounds": sort_trim + per-chunk bounding-sphere skip in the kernel.
         Wins only when whole regions are often invisible per tile; the
         per-chunk scalar sync costs ~25% on the large scene, so it is opt-in.
       "none": feed spheres as-is."""
     assert cull in ("sort_trim", "bounds", "none"), cull
-    bounds_b = None
+    return _render_jit(spheres_soa, camera, cfg, tile_rays, unroll,
+                       cull, chunk_size, n_real)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_rays", "unroll", "cull",
+                                    "chunk_size", "n_real"))
+def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
+                tile_rays: int, unroll: int, cull: str, chunk_size: int,
+                n_real: Optional[int]) -> Tuple[jax.Array, jax.Array]:
+    bounds = None
     if cull != "none":
-        perm, bounds, n_real = scene_accel(spheres_soa, chunk_size)
-        # Keep a power-of-two row count (>= unroll / chunk granule): odd
-        # counts like 496 compile an order of magnitude slower in Mosaic and
-        # run worse than the next power of two.
-        granule = chunk_size if cull == "bounds" else max(unroll, 1)
-        keep = granule
-        while keep < n_real:
-            keep *= 2
-        keep = min(keep, perm.shape[0])
-        keep = max(-(-keep // granule) * granule, granule)
         import dataclasses as _dc
-        idx = jnp.asarray(perm[:keep])
+        valid = spheres_soa.radius != 0.0
+        perm = culling.morton_order(spheres_soa.center_x,
+                                    spheres_soa.center_y,
+                                    spheres_soa.center_z, valid)
+        granule = chunk_size if cull == "bounds" else max(unroll, 1)
+        keep = (_keep_count(n_real, perm.shape[0], granule)
+                if n_real is not None else
+                max(-(-perm.shape[0] // granule) * granule, granule))
+        idx = perm[:keep]
         spheres_soa = _dc.replace(spheres_soa, **{
             f.name: jnp.take(getattr(spheres_soa, f.name), idx)
             for f in _dc.fields(spheres_soa)})
         if cull == "bounds":
-            bounds_b = bounds[:, :keep // chunk_size].tobytes()
-    return _render_jit(spheres_soa, camera, cfg, tile_rays, unroll,
-                       bounds_b, chunk_size)
+            bounds = culling.chunk_bounds(
+                spheres_soa.center_x, spheres_soa.center_y,
+                spheres_soa.center_z, spheres_soa.radius,
+                spheres_soa.radius != 0.0, chunk_size)
 
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "tile_rays", "unroll", "bounds_b",
-                                    "chunk_size"))
-def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
-                tile_rays: int, unroll: int, bounds_b, chunk_size: int
-                ) -> Tuple[jax.Array, jax.Array]:
     spheres = prepare(spheres_soa)
     n = cfg.num_primary_rays
 
@@ -182,8 +175,6 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     t = (y + jv) * jnp.float32(1.0 / cfg.height)
     ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
 
-    bounds = (None if bounds_b is None else
-              jnp.asarray(np.frombuffer(bounds_b, np.float32).reshape(4, -1)))
     (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy, dz,
                                           ray_id, cfg, tile_rays=tile_rays,
                                           unroll=unroll, bounds=bounds,

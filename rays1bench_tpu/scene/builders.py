@@ -21,10 +21,14 @@ from rays1bench_tpu.render.camera import CameraSpec
 
 @dataclasses.dataclass(frozen=True)
 class Scene:
-    """A camera spec + the sphere SoA (reference: Scene, rayweek1.cpp:539-549)."""
+    """A camera spec + the sphere SoA (reference: Scene, rayweek1.cpp:539-549).
+
+    n_real = sphere count before placeholder padding (static metadata used by
+    the megakernel pipeline to trim padding rows)."""
     name: str
     camera: CameraSpec
     spheres: SphereSOA
+    n_real: int = 0
 
 
 class _W:
@@ -45,6 +49,10 @@ class _W:
     def dielectric(self, c, r, ref_idx):
         self.b.add(c[0], c[1], c[2], r, DIELECTRIC, 1.0, 1.0, 1.0, 0.0, ref_idx)
 
+    @property
+    def count(self) -> int:
+        return self.b.count
+
     def finalize(self) -> SphereSOA:
         # Padding rows default to radius 0 == placeholder, the analog of the
         # reference's (999999999,…, radius 0) spheres (rayweek1.cpp:575-576).
@@ -61,7 +69,7 @@ def create_small_scene(aspect: float, pad_multiple: int = 128) -> Scene:
     w.metal((1, 0, -1), 0.5, (0.8, 0.6, 0.2), 0.3)
     w.dielectric((-1, 0, -1), 0.5, 1.5)
     w.dielectric((-1, 0, -1), -0.45, 1.5)   # hollow interior, normal flipped
-    return Scene("small", cam, w.finalize())
+    return Scene("small", cam, w.finalize(), n_real=w.count)
 
 
 def create_medium_scene(aspect: float, pad_multiple: int = 128) -> Scene:
@@ -99,7 +107,7 @@ def create_medium_scene(aspect: float, pad_multiple: int = 128) -> Scene:
         else:
             w.metal((x, 0, -6), 0.5, rainbow[i], 0)
     w.lambertian((1.5, 1.5, -2), 0.3, (0.1, 0.2, 0.5))
-    return Scene("medium", cam, w.finalize())
+    return Scene("medium", cam, w.finalize(), n_real=w.count)
 
 
 def create_large_scene(aspect: float, pad_multiple: int = 128) -> Scene:
@@ -129,7 +137,7 @@ def create_large_scene(aspect: float, pad_multiple: int = 128) -> Scene:
     w.metal((5, 3, 0), 2, (0.5, 0.5, 0.8), 0.65)
     w.dielectric((0, 3, 0), 2, 1.5)
     w.metal((-5, 3, 0), 2, (0.8, 0.2, 0.2), 0.05)
-    return Scene("large", cam, w.finalize())
+    return Scene("large", cam, w.finalize(), n_real=w.count)
 
 
 SCENES: Dict[str, Callable[..., Scene]] = {
