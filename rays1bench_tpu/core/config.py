@@ -42,6 +42,11 @@ class RenderConfig:
     # dead (lax.while_loop); if False it runs a fixed-trip scan, which is what
     # reverse-mode AD needs.
     early_exit: bool = True
+    # Use the Pallas closest-hit index kernel inside the XLA pipeline's
+    # intersection (kernels/intersect_pallas.py). Speeds up the
+    # differentiable path; gradients are unaffected (hit topology is
+    # stop_gradient'ed either way).
+    pallas_intersect: bool = False
 
     @property
     def aspect(self) -> float:

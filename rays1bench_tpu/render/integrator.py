@@ -40,13 +40,14 @@ def sky_color(dx, dy, dz):
 
 
 def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
-                 t_min, t_max, max_bounces):
+                 t_min, t_max, max_bounces, intersector=None):
     (bounce, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive,
      num_rays) = state
 
     num_rays = num_rays + jnp.sum(alive.astype(jnp.uint32))
 
-    rec = closest_hit(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max)
+    intersector = intersector or closest_hit
+    rec = intersector(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max)
 
     # Miss -> accumulate attenuated sky, lane dies.
     skr, skg, skb = sky_color(dx, dy, dz)
@@ -75,10 +76,10 @@ def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "t_min", "t_max",
-                                   "early_exit"))
+                                   "early_exit", "intersector"))
 def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
           max_bounces: int = 50, t_min: float = 1e-3, t_max: float = 3.4e38,
-          early_exit: bool = True, active=None):
+          early_exit: bool = True, active=None, intersector=None):
     """Trace a wavefront of N primary rays to completion.
 
     `active` optionally masks out padding lanes (bool[N]); inactive lanes are
@@ -100,7 +101,8 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
 
     body = lambda s: _bounce_step(s, spheres, seed, ray_id,
                                   jnp.float32(t_min), jnp.float32(t_max),
-                                  jnp.int32(max_bounces))
+                                  jnp.int32(max_bounces),
+                                  intersector=intersector)
 
     if early_exit:
         # Recursion-style early exit: stop when every lane is dead. The trip

@@ -94,8 +94,18 @@ def closest_hit(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
 
     best = jnp.argmin(t_masked, axis=1)           # first minimum wins
     hit = jnp.min(t_masked, axis=1) < _BIG
+    return hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres, best, hit,
+                                 t_min)
 
-    # ---- stage 2: recompute the hit record from the winning sphere ------- #
+
+def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
+                          best, hit, t_min: float) -> HitRecord:
+    """Stage 2: differentiable hit record given the winning sphere index.
+
+    O(N) recompute of t/p/normal from the chosen sphere's parameters, so
+    gradients flow through a short, well-conditioned chain instead of through
+    the full (N, S) matrix. `best`/`hit` may come from the XLA argmin above
+    or from the Pallas index kernel (kernels/intersect_pallas.py)."""
     j = jax.lax.stop_gradient(best)
     cx = jnp.take(spheres.center_x, j)
     cy = jnp.take(spheres.center_y, j)

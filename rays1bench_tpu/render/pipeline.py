@@ -48,10 +48,26 @@ def _trace_chunk(spheres, camera: Camera, ray_id, active, seed, cfg: RenderConfi
     t = (y + jv) * jnp.float32(1.0 / cfg.height)
 
     ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
+    intersector = None
+    if cfg.pallas_intersect:
+        import jax as _jax
+        from rays1bench_tpu.render.intersect import hit_record_from_index
+        from rays1bench_tpu.kernels.intersect_pallas import closest_hit_index
+        interp = _jax.default_backend() == "cpu"
+
+        tmin_static = float(cfg.t_min)  # custom_vjp nondiff arg: no tracers
+
+        def intersector(ox_, oy_, oz_, dx_, dy_, dz_, sph, tmin, tmax):
+            del tmin, tmax  # traced copies; the static value is equivalent
+            idx, hit = closest_hit_index(sph, ox_, oy_, oz_, dx_, dy_, dz_,
+                                         tmin_static, 2048, interp)
+            return hit_record_from_index(ox_, oy_, oz_, dx_, dy_, dz_, sph,
+                                         idx, hit, tmin_static)
+
     (rr, rg, rb), num_rays = trace(
         spheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
         max_bounces=cfg.max_bounces, t_min=cfg.t_min, t_max=cfg.t_max,
-        early_exit=cfg.early_exit, active=active)
+        early_exit=cfg.early_exit, active=active, intersector=intersector)
     return rr, rg, rb, num_rays
 
 
