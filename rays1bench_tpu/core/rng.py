@@ -13,7 +13,11 @@ makes images deterministic under `shard_map` without any cross-device RNG state.
 
 The hash is the PCG-family integer hash ("pcg_hash" from Jarzynski & Olano,
 "Hash Functions for GPU Rendering", JCGT 2020) — a few VPU-friendly integer ops,
-usable identically inside Pallas kernels and plain jnp code.
+usable identically inside Pallas kernels and plain jnp code. The lattice
+coordinates are combined linearly with large odd constants and hashed with ONE
+pcg round (the paper's recommended usage); the hash chain is on the megakernel's
+per-bounce critical path, and one round measurably beats three there while the
+golden-image statistics stay within tolerance (tests/test_pipeline.py).
 
 Uniform floats keep the reference's 24-bit-mantissa convention:
 myrand01 = (bits & 0xFFFFFF) / 2^24  (mymath.h:27-30).
@@ -45,13 +49,15 @@ def hash_bits(seed, ray_id, bounce, slot):
     """uint32 random bits for lattice coordinates (seed, ray_id, bounce, slot).
 
     All arguments broadcast; ray_id is typically an (N,) int32 lane array while
-    seed/bounce/slot are scalars.
+    seed/bounce/slot are scalars. Linear Weyl combination of the coordinates,
+    then one pcg round.
     """
     seed = jnp.asarray(seed).astype(jnp.uint32)
-    h = pcg_hash(seed ^ (jnp.asarray(ray_id).astype(jnp.uint32) * _STREAM_RAY))
-    h = pcg_hash(h ^ (jnp.asarray(bounce).astype(jnp.uint32) * _STREAM_BOUNCE))
-    h = pcg_hash(h ^ (jnp.asarray(slot).astype(jnp.uint32) * _STREAM_SLOT))
-    return h
+    x = (seed
+         + jnp.asarray(ray_id).astype(jnp.uint32) * _STREAM_RAY
+         + jnp.asarray(bounce).astype(jnp.uint32) * _STREAM_BOUNCE
+         + jnp.asarray(slot).astype(jnp.uint32) * _STREAM_SLOT)
+    return pcg_hash(x)
 
 
 def bits_to_uniform01(bits):
@@ -88,23 +94,32 @@ def uniform_pair16(seed, ray_id, bounce, slot):
     return u, v
 
 
+_INV_2_10 = np.float32(1.0 / 1024.0)
+
+
 def in_unit_ball(seed, ray_id, bounce, slot0=0):
     """Uniform point inside the unit ball, returned as three component arrays.
 
     The reference rejects uniform cube samples (mymath.h:224-235,
     random_in_unit_sphere) — an unbounded data-dependent loop that can't live
     under jit. Same distribution analytically: an isotropic direction from
-    (z, phi) area sampling, scaled by cbrt(w) so volume is uniform. Uses slots
+    (z, phi) area sampling, scaled by a radius with CDF r^3 so volume is
+    uniform. The radial draw uses max(w1, w2, w3) of three uniforms — exactly
+    the r^3 CDF — instead of cbrt(w): cbrt has no Mosaic lowering and its
+    exp(log(w)/3) expansion is two transcendentals on the per-bounce critical
+    path, vs. two vector max ops here. 10-bit radial resolution (the three
+    draws share one hash word); direction resolution stays 16-bit. Uses slots
     slot0 (pair16) and slot0+1 — two hashes total.
     """
     u, v = uniform_pair16(seed, ray_id, bounce, slot0)
-    w = uniform01(seed, ray_id, bounce, slot0 + 1)
+    bits = hash_bits(seed, ray_id, bounce, slot0 + 1)
+    w1 = (bits & np.uint32(0x3FF)).astype(jnp.int32)
+    w2 = ((bits >> np.uint32(10)) & np.uint32(0x3FF)).astype(jnp.int32)
+    w3 = ((bits >> np.uint32(20)) & np.uint32(0x3FF)).astype(jnp.int32)
+    r = jnp.maximum(jnp.maximum(w1, w2), w3).astype(jnp.float32) * _INV_2_10
     z = 2.0 * u - 1.0
     s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = _TWO_PI * v
-    # cbrt(w) as exp(log(w)/3): cbrt has no Mosaic (Pallas TPU) lowering, and
-    # this form is exact to ulp-level for w in (0,1]. Clamp keeps log finite.
-    r = jnp.exp(jnp.log(jnp.maximum(w, np.float32(1e-30))) * np.float32(1.0 / 3.0))
     return r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z
 
 

@@ -81,22 +81,15 @@ def _pack_spheres(prep: PreparedSpheres) -> jax.Array:
     ])
 
 
-def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
-            dx_ref, dy_ref, dz_ref,
-            rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *, num_spheres: int,
-            max_bounces: int, t_min: float, seed: int, n_rays: int,
-            tile_rays: int, sub: int, unroll: int, chunk_size: int,
-            use_cull: bool):
-    # True global ray ids (arbitrary order — the caller may permute rays for
-    # spatial coherence; ids >= n_rays mark padding lanes).
-    ray_id = rid_ref[...]
+def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
+                 max_bounces: int, t_min: float, seed: int, sub: int,
+                 unroll: int, chunk_size: int, use_cull: bool, best_ref):
+    """Build the per-bounce wavefront update closure over the sphere SMEM refs.
 
-    ox0, oy0, oz0 = ox_ref[...], oy_ref[...], oz_ref[...]
-    dx0, dy0, dz0 = dx_ref[...], dy_ref[...], dz_ref[...]
-
+    Shared by the one-shot megakernel (_kernel) and the resumable phase kernel
+    (_phase_kernel). `best_ref` is the VMEM scratch holding the running
+    closest-hit payload (Mosaic's scf.if cannot yield vectors)."""
     zero = jnp.zeros((sub, LANES), jnp.float32)
-    one = zero + 1.0
-    alive0 = ray_id < n_rays
     seed_c = np.uint32(seed)
     tmin_c = np.float32(t_min)
 
@@ -135,7 +128,7 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
 
     _INIT = lambda: (zero + _INF, zero, zero, zero, zero, zero, zero)
 
-    def intersect(ox, oy, oz, dx, dy, dz, best_ref):
+    def intersect(ox, oy, oz, dx, dy, dz):
         """Dense sweep over all spheres (no culling).
 
         Manual unroll (Mosaic's fori_loop only supports unroll=1 or full):
@@ -152,7 +145,7 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         assert num_spheres % unroll == 0, (num_spheres, unroll)
         return jax.lax.fori_loop(0, num_spheres // unroll, group, _INIT())
 
-    def intersect_culled(ox, oy, oz, dx, dy, dz, best_ref):
+    def intersect_culled(ox, oy, oz, dx, dy, dz):
         """Chunked sweep with bounding-sphere culling (kernels/culling.py).
 
         For each chunk of `chunk_size` Morton-sorted spheres, one vector test
@@ -211,8 +204,7 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         cnt = cnt + alive.astype(jnp.int32)
 
         isect = intersect_culled if use_cull else intersect
-        (bt, cx, cy, cz, ivr, albp, mtp) = isect(ox, oy, oz, dx, dy, dz,
-                                                 bounce.best_ref)
+        (bt, cx, cy, cz, ivr, albp, mtp) = isect(ox, oy, oz, dx, dy, dz)
         hit = bt < _BIG
         t = jnp.where(hit, bt, 1.0)
         px = ox + t * dx
@@ -259,20 +251,49 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         return (b + 1, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb,
                 cont, cnt)
 
+    return bounce
+
+
+# State-scratch layout shared by both kernels: 13 (sub, LANES) f32 planes
+# holding (ox..dz, ar..ab, rr..rb, alive-as-float).
+def _state_io(st_ref):
+    def write_state(state):
+        for i, v in enumerate(state[1:14]):
+            st_ref[i] = v.astype(jnp.float32) if v.dtype == jnp.bool_ else v
+
+    def read_state(b):
+        vals = [st_ref[i] for i in range(13)]
+        return (b,) + tuple(vals[:12]) + (vals[12] > 0.0,)
+
+    return write_state, read_state
+
+
+def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref,
+            rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *refs, num_spheres: int,
+            max_bounces: int, t_min: float, seed: int, n_rays: int,
+            tile_rays: int, sub: int, unroll: int, chunk_size: int,
+            use_cull: bool, debug_iters: bool = False):
+    iters_ref = refs[0] if debug_iters else None
+    # True global ray ids (arbitrary order — the caller may permute rays for
+    # spatial coherence; ids >= n_rays mark padding lanes).
+    ray_id = rid_ref[...]
+    zero = jnp.zeros((sub, LANES), jnp.float32)
+    one = zero + 1.0
+    alive0 = ray_id < n_rays
+
     # Mosaic cannot carry vectors through scf.while; park the per-ray state
     # in VMEM scratch refs and carry only scalars (bounce index + any-alive).
     def run(st_ref, best_ref):
-        bounce.best_ref = best_ref
+        bounce = _make_bounce(
+            spheres_smem, bounds_smem, ray_id, num_spheres=num_spheres,
+            max_bounces=max_bounces, t_min=t_min, seed=seed, sub=sub,
+            unroll=unroll, chunk_size=chunk_size, use_cull=use_cull,
+            best_ref=best_ref)
+        write_state, read_state = _state_io(st_ref)
 
-        def write_state(state):
-            for i, v in enumerate(state[1:14]):
-                st_ref[i] = v.astype(jnp.float32) if v.dtype == jnp.bool_ else v
-
-        def read_state(b):
-            vals = [st_ref[i] for i in range(13)]
-            return (b,) + tuple(vals[:12]) + (vals[12] > 0.0,)
-
-        write_state((jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
+        write_state((jnp.int32(0), ox_ref[...], oy_ref[...], oz_ref[...],
+                     dx_ref[...], dy_ref[...], dz_ref[...],
                      one, one, one, zero, zero, zero, alive0))
         cnt_ref[...] = jnp.zeros((sub, LANES), jnp.int32)
 
@@ -285,9 +306,11 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
             alive_any = jnp.max(jnp.where(state[13], 1, 0))
             return (b + 1, alive_any)
 
-        jax.lax.while_loop(
+        fin = jax.lax.while_loop(
             lambda c: (c[0] <= max_bounces) & (c[1] > 0), body,
             (jnp.int32(0), jnp.int32(1)))
+        if debug_iters:
+            iters_ref[...] = jnp.full((sub, LANES), 1, jnp.int32) * fin[0]
 
         final = read_state(jnp.int32(0))
         rr_ref[...] = final[10]
@@ -298,12 +321,74 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
                   pltpu.VMEM((7, sub, LANES), jnp.float32))
 
 
+def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rid_ref,
+                  ar_ref, ag_ref, ab_ref, rr_ref, rg_ref, rb_ref, al_ref,
+                  oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+                  oar_ref, oag_ref, oab_ref, orr_ref, org_ref, orb_ref,
+                  oal_ref, cnt_ref, *, num_spheres: int, max_bounces: int,
+                  t_min: float, seed: int, sub: int, unroll: int,
+                  chunk_size: int, use_cull: bool):
+    """Resumable wavefront phase: advance every live ray by up to
+    (bspan[1] - bspan[0]) bounces, starting at absolute bounce bspan[0].
+
+    Bitwise identical per ray to running _kernel straight through: the RNG is
+    keyed on the absolute bounce index, and each lane's op sequence does not
+    depend on which phase it runs in. A tile whose rays are all dead exits
+    before the first sweep — after inter-phase compaction (see
+    trace_pallas_wavefront) dead tiles cost only their DMA.
+    """
+    ray_id = rid_ref[...]
+    b0 = bspan_smem[0, 0]
+    bend = bspan_smem[0, 1]
+
+    def run(st_ref, best_ref):
+        bounce = _make_bounce(
+            spheres_smem, bounds_smem, ray_id, num_spheres=num_spheres,
+            max_bounces=max_bounces, t_min=t_min, seed=seed, sub=sub,
+            unroll=unroll, chunk_size=chunk_size, use_cull=use_cull,
+            best_ref=best_ref)
+        write_state, read_state = _state_io(st_ref)
+
+        alive_in = al_ref[...]
+        write_state((b0, ox_ref[...], oy_ref[...], oz_ref[...],
+                     dx_ref[...], dy_ref[...], dz_ref[...],
+                     ar_ref[...], ag_ref[...], ab_ref[...],
+                     rr_ref[...], rg_ref[...], rb_ref[...],
+                     alive_in > 0.0))
+        cnt_ref[...] = jnp.zeros((sub, LANES), jnp.int32)
+
+        def body(carry):
+            b, _ = carry
+            state = read_state(b) + (cnt_ref[...],)
+            state = bounce(state)
+            write_state(state[:14])
+            cnt_ref[...] = state[14]
+            alive_any = jnp.max(jnp.where(state[13], 1, 0))
+            return (b + 1, alive_any)
+
+        jax.lax.while_loop(
+            lambda c: (c[0] <= max_bounces) & (c[0] < bend) & (c[1] > 0),
+            body, (b0, jnp.max(jnp.where(alive_in > 0.0, 1, 0))))
+
+        final = read_state(jnp.int32(0))
+        for ref, v in zip((oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref,
+                           odz_ref, oar_ref, oag_ref, oab_ref, orr_ref,
+                           org_ref, orb_ref), final[1:13]):
+            ref[...] = v
+        oal_ref[...] = final[13].astype(jnp.float32)
+
+    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32),
+                  pltpu.VMEM((7, sub, LANES), jnp.float32))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
-                                    "chunk_size", "interpret"))
+                                    "chunk_size", "interpret", "debug_iters"))
 def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                  cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
-                 bounds=None, chunk_size: int = 32, interpret: bool = False
+                 bounds=None, chunk_size: int = 32, interpret: bool = False,
+                 debug_iters: bool = False
                  ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Trace N primary rays through the megakernel.
 
@@ -343,8 +428,24 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         unroll=unroll,
         chunk_size=chunk_size,
         use_cull=use_cull,
+        debug_iters=debug_iters,
     )
-    rr, rg, rb, cnt = pl.pallas_call(
+    out_specs = [
+        ray_spec, ray_spec, ray_spec,
+        pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+    ]
+    if debug_iters:
+        out_specs.append(pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shape2, jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
@@ -355,20 +456,128 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec,
         ],
-        out_specs=(
-            ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((sub, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(packed, bounds, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy),
       as2d(dz), as2d(ray_id))
+    rr, rg, rb, cnt = outs[:4]
 
-    return (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
+    res = (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
         jnp.sum(cnt).astype(jnp.uint32)
+    if debug_iters:
+        # (per-tile while iterations, per-ray live-bounce count in slot order)
+        return res + (outs[4].reshape(num_tiles, tile_rays)[:, 0],
+                      cnt.reshape(n))
+    return res
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_rays", "unroll",
+                                    "chunk_size", "schedule", "interpret"))
+def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
+                           ray_id, cfg: RenderConfig, tile_rays: int = 2048,
+                           unroll: int = 16, bounds=None, chunk_size: int = 64,
+                           schedule: Tuple[int, ...] = (2, 3, 6),
+                           interpret: bool = False
+                           ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Wavefront-compacted trace: phases of K bounces with live-ray compaction
+    in between.
+
+    The megakernel's tile early-exit only pays off when a WHOLE tile dies; a
+    tile with one deep glass path sweeps all its dead lanes every bounce, and
+    TPU grid steps run serially, so that waste is wall-clock. Between phases,
+    rays are compacted at ROW granularity (one row = LANES consecutive rays):
+    rows with any live ray are packed into the leading tiles, so fully-dead
+    tiles exit before their first sphere sweep. Row granularity keeps the
+    permutation tiny (n/LANES keys) and every move a contiguous 512-byte row —
+    per-ray compaction via a 3.7M-element argsort measured ~1 s/phase on
+    v5e, ~100x the win it buys. The reference never needs any of this: CPU
+    recursion retires each ray the moment it dies; the compacted wavefront is
+    the TPU-shaped equivalent.
+
+    Per-ray radiance is BITWISE identical to trace_pallas (stateless RNG keyed
+    on absolute (ray_id, bounce); lane order cannot change any ray's math).
+
+    Same contract as trace_pallas: ((rr, rg, rb) f32[N] in input SLOT order,
+    ray count). schedule entries are bounces per phase, cumulative-clamped to
+    max_bounces+1.
+    """
+    n = ox.shape[0]
+    assert n % tile_rays == 0, (n, tile_rays)
+    assert n < (1 << 26), n
+    sub = tile_rays // LANES
+    num_tiles = n // tile_rays
+    n_active = min(n, cfg.num_primary_rays)
+
+    packed = _pack_spheres(spheres)
+    use_cull = bounds is not None
+    if not use_cull:
+        bounds = jnp.zeros((4, 1), jnp.float32)
+    shape2 = (num_tiles * sub, LANES)
+    as2d = lambda a: a.reshape(shape2)
+
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _phase_kernel,
+        num_spheres=spheres.count,
+        max_bounces=cfg.max_bounces,
+        t_min=cfg.t_min,
+        seed=cfg.seed,
+        sub=sub,
+        unroll=unroll,
+        chunk_size=chunk_size,
+        use_cull=use_cull,
+    )
+    f32s = jax.ShapeDtypeStruct(shape2, jnp.float32)
+    phase_call = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [ray_spec] * 14,
+        out_specs=tuple([ray_spec] * 14),
+        out_shape=tuple([f32s] * 13 + [jax.ShapeDtypeStruct(shape2, jnp.int32)]),
+        interpret=interpret,
+    )
+
+    rid = as2d(ray_id)
+    one = jnp.ones(shape2, jnp.float32)
+    zero = jnp.zeros(shape2, jnp.float32)
+    state = [as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy), as2d(dz),
+             one, one, one, zero, zero, zero,
+             (rid < n_active).astype(jnp.float32)]
+    total = jnp.uint32(0)
+    rows = shape2[0]
+    # row_slot[j] = original row sitting at row j now (composed permutation).
+    row_slot = jnp.arange(rows, dtype=jnp.int32)
+
+    b0 = 0
+    last = len(schedule) - 1
+    for i, k in enumerate(schedule):
+        bend = min(b0 + k, cfg.max_bounces + 1)
+        bspan = jnp.asarray([[b0, bend]], jnp.int32)
+        outs = phase_call(bspan, packed, bounds, *state[:6], rid, *state[6:])
+        state = list(outs[:13])
+        total = total + jnp.sum(outs[13]).astype(jnp.uint32)
+        b0 = bend
+        if i < last and b0 <= cfg.max_bounces:
+            # Stable partition of ROWS: live-first, original order preserved
+            # (keeps pixel-tile spatial coherence among survivors).
+            dead_row = jnp.max(state[12], axis=1) <= 0.0
+            key = jnp.arange(rows, dtype=jnp.int32) + \
+                dead_row.astype(jnp.int32) * rows
+            order = jnp.argsort(key)
+            row_slot = jnp.take(row_slot, order, axis=0)
+            rid = jnp.take(rid, order, axis=0)
+            state = [jnp.take(s, order, axis=0) for s in state]
+
+    # Undo the cumulative row permutation -> input slot order.
+    inv = jnp.argsort(row_slot)
+    return tuple(jnp.take(state[ch], inv, axis=0).reshape(n)
+                 for ch in (9, 10, 11)), total

@@ -30,7 +30,8 @@ import numpy as np
 from rays1bench_tpu.core import rng as rng_mod
 from rays1bench_tpu.core.config import RenderConfig
 from rays1bench_tpu.kernels import culling
-from rays1bench_tpu.kernels.megakernel import trace_pallas
+from rays1bench_tpu.kernels.megakernel import trace_pallas, \
+    trace_pallas_wavefront
 from rays1bench_tpu.render.camera import Camera
 from rays1bench_tpu.scene.soa_spheres import SphereSOA
 from rays1bench_tpu.scene.spheres import prepare
@@ -110,7 +111,8 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
                         cfg: RenderConfig, tile_rays: int = 2048,
                         unroll: int = 16, cull: str = "sort_trim",
                         chunk_size: int = 64,
-                        n_real: Optional[int] = None
+                        n_real: Optional[int] = None,
+                        wavefront: Optional[Tuple[int, ...]] = None
                         ) -> Tuple[jax.Array, jax.Array]:
     """Render a linear-radiance float image via the Pallas megakernel.
 
@@ -127,18 +129,26 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
       "bounds": sort_trim + per-chunk bounding-sphere skip in the kernel.
         Wins only when whole regions are often invisible per tile; the
         per-chunk scalar sync costs ~25% on the large scene, so it is opt-in.
-      "none": feed spheres as-is."""
+      "none": feed spheres as-is.
+
+    wavefront: None for the one-shot megakernel, or a tuple of per-phase
+    bounce budgets (e.g. (2, 3, 6)) to trace in compacted phases — live rays
+    are argsort-packed into the leading tiles between phases so dead tiles
+    exit before their first sphere sweep (see megakernel.
+    trace_pallas_wavefront). Identical image either way."""
     assert cull in ("sort_trim", "bounds", "none"), cull
     return _render_jit(spheres_soa, camera, cfg, tile_rays, unroll,
-                       cull, chunk_size, n_real)
+                       cull, chunk_size, n_real, wavefront)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll", "cull",
-                                    "chunk_size", "n_real"))
+                                    "chunk_size", "n_real", "wavefront"))
 def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
                 tile_rays: int, unroll: int, cull: str, chunk_size: int,
-                n_real: Optional[int]) -> Tuple[jax.Array, jax.Array]:
+                n_real: Optional[int],
+                wavefront: Optional[Tuple[int, ...]] = None
+                ) -> Tuple[jax.Array, jax.Array]:
     bounds = None
     if cull != "none":
         import dataclasses as _dc
@@ -175,10 +185,17 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     t = (y + jv) * jnp.float32(1.0 / cfg.height)
     ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
 
-    (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy, dz,
-                                          ray_id, cfg, tile_rays=tile_rays,
-                                          unroll=unroll, bounds=bounds,
-                                          chunk_size=chunk_size)
+    if wavefront is not None:
+        (rr, rg, rb), num_rays = trace_pallas_wavefront(
+            spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
+            tile_rays=tile_rays, unroll=unroll, bounds=bounds,
+            chunk_size=chunk_size, schedule=wavefront)
+    else:
+        (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy,
+                                              dz, ray_id, cfg,
+                                              tile_rays=tile_rays,
+                                              unroll=unroll, bounds=bounds,
+                                              chunk_size=chunk_size)
 
     def unpermute(a):
         if inv_np is None:

@@ -105,3 +105,53 @@ def test_pipeline_matches_xla_pipeline():
     finally:
         kp.trace_pallas = orig
         kp._render_jit._clear_cache()
+
+
+@pytest.mark.parametrize("schedule", [(2, 3, 6), (1, 1, 1, 1, 1, 1, 1, 1, 1),
+                                      (20,)])
+def test_wavefront_matches_oneshot_bitwise(schedule):
+    """Phased + compacted tracing must be BITWISE identical per ray to the
+    one-shot kernel: stateless RNG on absolute (ray_id, bounce) means lane
+    placement cannot change any ray's arithmetic."""
+    from rays1bench_tpu.kernels.megakernel import trace_pallas_wavefront
+
+    cfg = RenderConfig(width=64, height=32, spp=1, max_bounces=8, seed=7)
+    scene = create_medium_scene(cfg.aspect)
+    prep = prepare(scene.spheres)
+    ray_id, rays = _primary_rays(cfg, scene)
+
+    (ar, ag, ab), n_a = trace_pallas(prep, *rays, ray_id, cfg,
+                                     tile_rays=1024, unroll=4, interpret=True)
+    (br, bg, bb), n_b = trace_pallas_wavefront(
+        prep, *rays, ray_id, cfg, tile_rays=1024, unroll=4,
+        schedule=schedule, interpret=True)
+    assert int(n_a) == int(n_b)
+    for a, b in zip((ar, ag, ab), (br, bg, bb)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_wavefront_pipeline_end_to_end():
+    from rays1bench_tpu.kernels import pipeline as kp
+    from rays1bench_tpu.kernels import megakernel as mk
+    import functools
+
+    cfg = RenderConfig(width=64, height=32, spp=2, max_bounces=6,
+                       ray_chunk=4096, seed=11)
+    scene = create_small_scene(cfg.aspect)
+    cam = scene.camera.build()
+
+    orig_one, orig_wf = kp.trace_pallas, kp.trace_pallas_wavefront
+    kp._render_jit._clear_cache()
+    try:
+        kp.trace_pallas = functools.partial(orig_one, interpret=True)
+        kp.trace_pallas_wavefront = functools.partial(orig_wf, interpret=True)
+        ref, n_ref = kp.render_image_pallas(scene.spheres, cam, cfg,
+                                            tile_rays=1024, unroll=4)
+        img, n = kp.render_image_pallas(scene.spheres, cam, cfg,
+                                        tile_rays=1024, unroll=4,
+                                        wavefront=(2, 5))
+        assert int(n) == int(n_ref)
+        assert (np.asarray(img) == np.asarray(ref)).all()
+    finally:
+        kp.trace_pallas, kp.trace_pallas_wavefront = orig_one, orig_wf
+        kp._render_jit._clear_cache()
