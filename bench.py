@@ -4,14 +4,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "mrays/s", "vs_baseline": N}
 
-Metric: mrays/s on the large scene (1280x720 @ 4 spp, max 10 bounces,
-BASELINE.json headline config), rays counted per radiance evaluation incl.
-bounces — the reference's own metric (src/latest/rayweek1.cpp:517,
+Metric: sustained mrays/s on the large scene (1280x720 @ 4 spp, max 10
+bounces, BASELINE.json headline config), rays counted per radiance evaluation
+incl. bounces — the reference's own metric (src/latest/rayweek1.cpp:517,
 src/common/common.h:41-44). vs_baseline compares against the reference's best
 published number, step13 multithreaded large = 59.362 mrays/s on an i9 9900K
 (README.md:52).
 
-Usage: python bench.py [--runs N] [--scene large] [--spp 4] [--quick]
+"Sustained" = N frames rendered back-to-back inside one jit dispatch
+(lax.scan), total rays / total seconds. This dev environment reaches its TPU
+through a tunnel costing ~29 ms per synchronous dispatch (measured on an
+(8,128) elementwise op — tools/dispatch_floor_probe.py), which is a property
+of the tunnel, not the chip; batching frames measures the hardware the way a
+production render loop would run it. The per-single-dispatch number (tunnel
+round trip included) is printed on stderr alongside.
+
+Usage: python bench.py [--runs N] [--frames N] [--scene large] [--spp 4]
 """
 
 import argparse
@@ -26,6 +34,8 @@ BASELINE_MRAYS = 59.362  # reference step13 MT, large scene (README.md:52)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=8,
+                    help="frames per dispatch for the sustained metric")
     ap.add_argument("--scene", default="large", choices=["small", "medium", "large"])
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--max-bounces", type=int, default=10)
@@ -58,9 +68,10 @@ def main():
     img, num_rays = render_image_(scene.spheres, camera, cfg)
     float(img.sum())
 
-    # Each timed run perturbs one scene leaf by a sub-ulp-of-the-image amount
-    # and reads back a checksum: the remote runtime caches identical
-    # executions, so identical repeated calls would time as ~0.
+    # Single-dispatch timing (includes the ~29 ms tunnel round trip). Each
+    # run perturbs one scene leaf sub-visibly and reads back a checksum: the
+    # remote runtime caches identical executions, so identical repeated calls
+    # would time as ~0.
     import dataclasses as _dc
     times = []
     for i in range(args.runs):
@@ -70,10 +81,14 @@ def main():
         img, num_rays = render_image_(spheres, camera, cfg)
         float(img.sum())
         times.append(time.perf_counter() - t0)
+    best1 = min(times)
+    rays1 = int(num_rays)
 
-    best = min(times)
-    rays = int(num_rays)
-    mrays = rays / best / 1e6
+    # Sustained throughput: args.frames frames in one dispatch (the headline).
+    from rays1bench_tpu.bench.harness import benchmark_sustained
+    res = benchmark_sustained(scene, cfg, frames=args.frames,
+                              num_runs=args.runs, render_fn=render_image_)
+    mrays = res.mrays_per_sec
 
     if args.save:
         import numpy as np
@@ -85,7 +100,12 @@ def main():
         "unit": "mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
     }))
-    print(f"# rays={rays} best={best:.4f}s times={[round(t,4) for t in times]} "
+    print(f"# sustained: rays={res.num_rays} frames={args.frames} "
+          f"total={res.elapsed_seconds:.4f}s "
+          f"per_frame={res.elapsed_seconds/args.frames*1e3:.1f}ms | "
+          f"single-dispatch: rays={rays1} best={best1:.4f}s "
+          f"({rays1/best1/1e6:.1f} mrays/s) "
+          f"times={[round(t,4) for t in times]} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 

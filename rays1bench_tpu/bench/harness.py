@@ -75,6 +75,55 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
     return results
 
 
+def benchmark_sustained(scene, cfg: RenderConfig, frames: int = 8,
+                        num_runs: int = 3, render_fn=None) -> BenchResult:
+    """Sustained throughput: `frames` perturbed renders inside ONE jit
+    dispatch (lax.scan), one scalar readback.
+
+    The dev environment reaches its TPU through a tunnel whose runtime costs
+    ~29 ms per synchronous dispatch (measured with an (8,128) add — see
+    tools/dispatch_floor_probe.py); a per-call benchmark therefore measures
+    the tunnel, not the chip, once the kernel is fast. Scanning frames inside
+    one executable amortizes the round trip exactly like a production render
+    loop that stays on-device. Returns the best-of-num_runs BenchResult for
+    the whole batch (divide by `frames` for per-frame time)."""
+    import functools
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+
+    if render_fn is None:
+        from rays1bench_tpu.kernels.pipeline import render_image_pallas
+        n_real = getattr(scene, "n_real", None) or None
+        render_fn = (lambda sph, cam, cfg_, _nr=n_real:
+                     render_image_pallas(sph, cam, cfg_, n_real=_nr))
+    camera = scene.camera.build()
+
+    @jax.jit
+    def bench_n(spheres, salts):
+        def body(carry, salt):
+            sph = _dc.replace(spheres, center_x=spheres.center_x + salt)
+            img, nrays = render_fn(sph, camera, cfg)
+            s, r = carry
+            return (s + img.sum(), r + nrays.astype(jnp.uint32)), 0
+        (s, r), _ = jax.lax.scan(body, (jnp.float32(0), jnp.uint32(0)), salts)
+        return s, r
+
+    salts = jnp.arange(1, frames + 1, dtype=jnp.float32) * 1e-7
+    s, r = bench_n(scene.spheres, salts)
+    float(s)  # compile + warm
+    best = None
+    for i in range(num_runs):
+        salts_i = salts + (i + 1) * 1e-9  # defeat the runtime's result cache
+        t0 = time.perf_counter()
+        s, r = bench_n(scene.spheres, salts_i)
+        float(s)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    return BenchResult(best, int(r))
+
+
 def log_results(scene_name: str, results: List[BenchResult],
                 version: str = VERSION_NAME, directory: str = ".") -> str:
     """Average runs and write out_<scene>.txt in the reference's pipe format

@@ -94,9 +94,11 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
     tmin_c = np.float32(t_min)
 
     def make_sphere_step(ox, oy, oz, dx, dy, dz):
-        """Per-sphere running (best_t, payload) update, ~29 VPU ops over the
-        whole ray tile. Misses (disc <= 0) poison sq to +inf, so both roots
-        fall outside any finite comparison — no separate validity mask."""
+        """Per-sphere running (best_t, payload) update, ~26 VPU ops over the
+        whole ray tile. Misses (disc < 0) rely on IEEE NaN propagation:
+        sqrt(negative) = NaN, every NaN comparison is false, so a missing
+        sphere can never win `better` — no validity mask, no clamp, no
+        poison select."""
         def one_sphere(s, carry):
             (bt, cx, cy, cz, ivr, alb, mtp) = carry
             scx = spheres_smem[_CX, s]
@@ -110,13 +112,12 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
             nb = cox * dx + coy * dy + coz * dz
             c = cox * cox + coy * coy + coz * coz - rsq
             disc = nb * nb - c
-            sq = jnp.where(disc > 0.0, jnp.sqrt(jnp.maximum(disc, 0.0)), _INF)
-            t1 = nb - sq                       # -inf on miss
-            t2 = nb + sq                       # +inf on miss
+            sq = jnp.sqrt(disc)                 # NaN on miss
+            t1 = nb - sq
+            t2 = nb + sq
             t = jnp.where(t1 > tmin_c, t1, t2)  # near root first (ref pass 2)
-            tm = jnp.where(t > tmin_c, t, _INF)
-            better = tm < bt
-            bt = jnp.where(better, tm, bt)
+            better = (t < bt) & (t > tmin_c)    # both false on NaN
+            bt = jnp.where(better, t, bt)
             cx = jnp.where(better, scx, cx)
             cy = jnp.where(better, scy, cy)
             cz = jnp.where(better, scz, cz)

@@ -96,6 +96,51 @@ def _tile_order(width: int, height: int, spp: int, tile_rays: int):
     return ids, x, y, inv, (gy, gx, th, tw)
 
 
+def _tile_coords(cfg: RenderConfig, geom, n_slots: int):
+    """Arithmetic (in-jit) slot -> (ray_id, x, y) for the tile order of
+    _tile_order, from a broadcasted iota.
+
+    The numpy arrays _tile_order builds would be baked into the jit as HLO
+    literal constants — 3 x 14.7 MB at 1280x720x4spp, which the remote TPU
+    runtime ships with EVERY execution (~29 ms/frame measured, dwarfing the
+    small scene's 4 ms trace). Index arithmetic on an iota costs ~nothing and
+    keeps the executable constant-free."""
+    gy, gx, th, tw = geom
+    spp = cfg.spp
+    slot = jax.lax.iota(jnp.int32, n_slots)
+    s = slot % spp
+    r = slot // spp
+    px = r % tw
+    r = r // tw
+    py = r % th
+    r = r // th
+    tx = r % gx
+    ty = r // gx
+    x = tx * tw + px
+    y = ty * th + py
+    valid = (x < cfg.width) & (y < cfg.height)
+    ids = jnp.where(valid, (y * cfg.width + x) * spp + s,
+                    cfg.num_primary_rays)
+    zero = jnp.int32(0)
+    return (ids, jnp.where(valid, x, zero).astype(jnp.float32),
+            jnp.where(valid, y, zero).astype(jnp.float32))
+
+
+def _slot_of_id(cfg: RenderConfig, geom):
+    """Arithmetic inverse of _tile_coords for the padded/inexact grid: the
+    kernel slot holding each true ray id (used to unpermute without a baked
+    constant table)."""
+    gy, gx, th, tw = geom
+    spp = cfg.spp
+    rid = jax.lax.iota(jnp.int32, cfg.num_primary_rays)
+    s = rid % spp
+    pix = rid // spp
+    x = pix % cfg.width
+    y = pix // cfg.width
+    return ((((y // th) * gx + (x // tw)) * th + y % th) * tw
+            + x % tw) * spp + s
+
+
 def _keep_count(n_real: int, n_padded: int, granule: int) -> int:
     """Power-of-two row count to keep after sorting (>= granule): odd counts
     like 496 compile an order of magnitude slower in Mosaic and run worse
@@ -173,11 +218,9 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     spheres = prepare(spheres_soa)
     n = cfg.num_primary_rays
 
-    ids_np, x_np, y_np, inv_np, (gy, gx, th, tw) = _tile_order(
+    ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
         cfg.width, cfg.height, cfg.spp, tile_rays)
-    ray_id = jnp.asarray(ids_np)
-    x = jnp.asarray(x_np).astype(jnp.float32)
-    y = jnp.asarray(y_np).astype(jnp.float32)
+    ray_id, x, y = _tile_coords(cfg, (gy, gx, th, tw), len(ids_np))
 
     seed = jnp.uint32(cfg.seed)
     ju, jv = rng_mod.pixel_jitter(seed, ray_id)
@@ -202,7 +245,7 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
             # (gy, gx, th, tw, spp) -> (gy, th, gx, tw, spp) == (H, W, spp)
             return a.reshape(gy, gx, th, tw, cfg.spp).transpose(
                 0, 2, 1, 3, 4).reshape(cfg.height, cfg.width, cfg.spp)
-        inv = jnp.asarray(inv_np)
+        inv = _slot_of_id(cfg, (gy, gx, th, tw))
         return jnp.take(a, inv).reshape(cfg.height, cfg.width, cfg.spp)
 
     rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)

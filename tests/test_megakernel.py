@@ -155,3 +155,21 @@ def test_wavefront_pipeline_end_to_end():
     finally:
         kp.trace_pallas, kp.trace_pallas_wavefront = orig_one, orig_wf
         kp._render_jit._clear_cache()
+
+
+@pytest.mark.parametrize("w,h,spp,tile", [(64, 32, 2, 1024), (1280, 720, 4, 2048),
+                                          (50, 30, 3, 1024)])
+def test_tile_coords_match_numpy(w, h, spp, tile):
+    """The in-jit arithmetic slot->(id,x,y) mapping (no baked constants) must
+    reproduce _tile_order's numpy tables exactly, including padding lanes."""
+    from rays1bench_tpu.kernels.pipeline import (_tile_order, _tile_coords,
+                                                 _slot_of_id)
+
+    cfg = RenderConfig(width=w, height=h, spp=spp)
+    ids_np, x_np, y_np, inv_np, geom = _tile_order(w, h, spp, tile)
+    ids, x, y = _tile_coords(cfg, geom, len(ids_np))
+    assert (np.asarray(ids) == ids_np).all()
+    assert (np.asarray(x) == x_np.astype(np.float32)).all()
+    assert (np.asarray(y) == y_np.astype(np.float32)).all()
+    if inv_np is not None:
+        assert (np.asarray(_slot_of_id(cfg, geom)) == inv_np).all()
