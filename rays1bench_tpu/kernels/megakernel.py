@@ -274,7 +274,7 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
             rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *refs, num_spheres: int,
             max_bounces: int, t_min: float, seed: int, n_rays: int,
             tile_rays: int, sub: int, unroll: int, chunk_size: int,
-            use_cull: bool, debug_iters: bool = False):
+            use_cull: bool, sync_every: int = 1, debug_iters: bool = False):
     iters_ref = refs[0] if debug_iters else None
     # True global ray ids (arbitrary order — the caller may permute rays for
     # spatial coherence; ids >= n_rays mark padding lanes).
@@ -299,13 +299,18 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         cnt_ref[...] = jnp.zeros((sub, LANES), jnp.int32)
 
         def body(carry):
+            # `sync_every` bounces per early-exit check: the vector->scalar
+            # alive reduction stalls the VPU pipeline (~1 us measured), which
+            # dominates a bounce for small sphere counts. Overshooting is
+            # semantically free — dead lanes add no radiance and no count.
             b, _ = carry
             state = read_state(b) + (cnt_ref[...],)
-            state = bounce(state)
+            for _ in range(sync_every):
+                state = bounce(state)
             write_state(state[:14])
             cnt_ref[...] = state[14]
             alive_any = jnp.max(jnp.where(state[13], 1, 0))
-            return (b + 1, alive_any)
+            return (b + sync_every, alive_any)
 
         fin = jax.lax.while_loop(
             lambda c: (c[0] <= max_bounces) & (c[1] > 0), body,
@@ -385,11 +390,12 @@ def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
-                                    "chunk_size", "interpret", "debug_iters"))
+                                    "chunk_size", "sync_every", "interpret",
+                                    "debug_iters"))
 def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                  cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
-                 bounds=None, chunk_size: int = 32, interpret: bool = False,
-                 debug_iters: bool = False
+                 bounds=None, chunk_size: int = 32, sync_every: int = 1,
+                 interpret: bool = False, debug_iters: bool = False
                  ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Trace N primary rays through the megakernel.
 
@@ -429,6 +435,7 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         unroll=unroll,
         chunk_size=chunk_size,
         use_cull=use_cull,
+        sync_every=sync_every,
         debug_iters=debug_iters,
     )
     out_specs = [

@@ -154,10 +154,11 @@ def _keep_count(n_real: int, n_padded: int, granule: int) -> int:
 
 def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
                         cfg: RenderConfig, tile_rays: int = 2048,
-                        unroll: int = 16, cull: str = "sort_trim",
+                        unroll: int = 0, cull: str = "sort_trim",
                         chunk_size: int = 64,
                         n_real: Optional[int] = None,
-                        wavefront: Optional[Tuple[int, ...]] = None
+                        wavefront: Optional[Tuple[int, ...]] = None,
+                        sync_every: int = 0
                         ) -> Tuple[jax.Array, jax.Array]:
     """Render a linear-radiance float image via the Pallas megakernel.
 
@@ -180,19 +181,29 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
     bounce budgets (e.g. (2, 3, 6)) to trace in compacted phases — live rays
     are argsort-packed into the leading tiles between phases so dead tiles
     exit before their first sphere sweep (see megakernel.
-    trace_pallas_wavefront). Identical image either way."""
+    trace_pallas_wavefront). Identical image either way.
+
+    unroll: sphere-loop unroll factor; 0 = auto (v5e sweet spots measured
+    2026-08-18: full unroll up to 64 rows, half the row count above).
+
+    sync_every: bounces per early-exit check inside the kernel (skipping
+    checks trades a possible overshoot bounce for fewer vector->scalar
+    stalls; overshooting past the last live bounce is semantically free).
+    0 = auto by sphere count."""
     assert cull in ("sort_trim", "bounds", "none"), cull
     return _render_jit(spheres_soa, camera, cfg, tile_rays, unroll,
-                       cull, chunk_size, n_real, wavefront)
+                       cull, chunk_size, n_real, wavefront, sync_every)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll", "cull",
-                                    "chunk_size", "n_real", "wavefront"))
+                                    "chunk_size", "n_real", "wavefront",
+                                    "sync_every"))
 def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
                 tile_rays: int, unroll: int, cull: str, chunk_size: int,
                 n_real: Optional[int],
-                wavefront: Optional[Tuple[int, ...]] = None
+                wavefront: Optional[Tuple[int, ...]] = None,
+                sync_every: int = 0
                 ) -> Tuple[jax.Array, jax.Array]:
     bounds = None
     if cull != "none":
@@ -201,10 +212,12 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
         perm = culling.morton_order(spheres_soa.center_x,
                                     spheres_soa.center_y,
                                     spheres_soa.center_z, valid)
-        granule = chunk_size if cull == "bounds" else max(unroll, 1)
+        granule = chunk_size if cull == "bounds" else max(unroll, 8)
         keep = (_keep_count(n_real, perm.shape[0], granule)
                 if n_real is not None else
                 max(-(-perm.shape[0] // granule) * granule, granule))
+        if unroll <= 0:
+            unroll = keep if keep <= 64 else keep // 2
         idx = perm[:keep]
         spheres_soa = _dc.replace(spheres_soa, **{
             f.name: jnp.take(getattr(spheres_soa, f.name), idx)
@@ -216,6 +229,9 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
                 spheres_soa.radius != 0.0, chunk_size)
 
     spheres = prepare(spheres_soa)
+    if unroll <= 0:  # cull == "none" path (no row trimming happened)
+        count = spheres.count
+        unroll = count if count <= 64 else max(count // 2, 8)
     n = cfg.num_primary_rays
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
@@ -234,11 +250,16 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
             tile_rays=tile_rays, unroll=unroll, bounds=bounds,
             chunk_size=chunk_size, schedule=wavefront)
     else:
+        if sync_every <= 0:
+            # Auto: exit checks are worth skipping when the sphere sweep is
+            # cheap relative to the ~1 us sync stall.
+            sync_every = 1 if spheres.count > 128 else 3
         (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy,
                                               dz, ray_id, cfg,
                                               tile_rays=tile_rays,
                                               unroll=unroll, bounds=bounds,
-                                              chunk_size=chunk_size)
+                                              chunk_size=chunk_size,
+                                              sync_every=sync_every)
 
     def unpermute(a):
         if inv_np is None:

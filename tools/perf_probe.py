@@ -31,6 +31,8 @@ def parse_variant(s):
             kw["chunk_size"] = int(v)
         elif k == "wf":
             kw["wavefront"] = tuple(int(x) for x in v.split(":"))
+        elif k == "sync":
+            kw["sync_every"] = int(v)
         else:
             raise ValueError(part)
     return kw
@@ -42,6 +44,8 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--max-bounces", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="if > 0, use the sustained (scan-batched) metric")
     ap.add_argument("--variants", nargs="+", required=True)
     args = ap.parse_args()
 
@@ -56,6 +60,20 @@ def main():
                        max_bounces=args.max_bounces)
     scene = builders.SCENES[args.scene](cfg.aspect)
     camera = scene.camera.build()
+
+    if args.frames:
+        from rays1bench_tpu.bench.harness import benchmark_sustained
+        for vs in args.variants:
+            kw = parse_variant(vs)
+            render_fn = (lambda sph, cam, cfg_, _kw=kw: render_image_pallas(
+                sph, cam, cfg_, n_real=scene.n_real, **_kw))
+            res = benchmark_sustained(scene, cfg, frames=args.frames,
+                                      num_runs=args.runs, render_fn=render_fn)
+            print(f"{args.scene} {vs} [sustained x{args.frames}]: "
+                  f"{res.mrays_per_sec:.2f} mrays/s "
+                  f"per_frame={res.elapsed_seconds/args.frames*1e3:.2f}ms",
+                  flush=True)
+        return
 
     for vs in args.variants:
         kw = parse_variant(vs)
