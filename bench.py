@@ -61,6 +61,9 @@ def main():
     scene = builders.SCENES[args.scene](cfg.aspect)
     camera = scene.camera.build()
 
+    # The wavefront=(4,7) row-compacted variant measures within noise of the
+    # one-shot kernel on the large scene (~113 ms/frame either way); the
+    # headline keeps the simpler one-shot path.
     render_image_ = lambda sph, cam_, cfg_: render_image(
         sph, cam_, cfg_, n_real=scene.n_real)
 

@@ -36,7 +36,10 @@ def main():
     # BASELINE config 4: small scene, 200x100, 4 spp, max-depth 10.
     cfg = RenderConfig(width=200, height=100, spp=4, max_bounces=10,
                        early_exit=False, ray_chunk=131072)
-    scene = create_small_scene(cfg.aspect)
+    # pad_multiple=8: the differentiable XLA path sweeps every SoA row
+    # densely, so don't carry 120 placeholder rows through the VJP
+    # (2x grad-step speed, tools/grad_bench.py).
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
 
     target = render_for_loss(scene.spheres, camera, cfg)

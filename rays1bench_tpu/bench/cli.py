@@ -34,9 +34,14 @@ def main(argv=None):
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--report", action="store_true",
                     help="print the markdown results table afterwards")
+    ap.add_argument("--sustained", type=int, default=0, metavar="FRAMES",
+                    help="time FRAMES frames inside one jit dispatch "
+                         "(amortizes the remote runtime's per-dispatch "
+                         "round trip; see bench.harness.benchmark_sustained)")
     args = ap.parse_args(argv)
 
-    from rays1bench_tpu.bench.harness import benchmark, log_results
+    from rays1bench_tpu.bench.harness import (benchmark, benchmark_sustained,
+                                              log_results)
     from rays1bench_tpu.bench import report
     from rays1bench_tpu.core.config import get_config
     from rays1bench_tpu.scene import builders
@@ -69,8 +74,16 @@ def main(argv=None):
     for name in scene_names:
         scene = builders.SCENES[name](cfg.aspect)
         tga_path = os.path.join(args.out_dir, f"out_{name}.tga") if args.save else None
-        results = benchmark(scene, cfg, num_runs=args.num, write_tga=tga_path,
-                            render_fn=render_fn)
+        if args.sustained:
+            res = benchmark_sustained(scene, cfg, frames=args.sustained,
+                                      num_runs=args.num, render_fn=render_fn)
+            results = [res]
+            if tga_path:  # the sustained path reads back only scalars
+                benchmark(scene, cfg, num_runs=1, write_tga=tga_path,
+                          render_fn=render_fn, warmup=False)
+        else:
+            results = benchmark(scene, cfg, num_runs=args.num,
+                                write_tga=tga_path, render_fn=render_fn)
         rec = log_results(name, results, directory=args.out_dir)
         r = results[-1]
         print(f"{name}\nelapsed time:\t{r.elapsed_seconds:.3f}s\n"

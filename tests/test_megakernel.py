@@ -173,3 +173,22 @@ def test_tile_coords_match_numpy(w, h, spp, tile):
     assert (np.asarray(y) == y_np.astype(np.float32)).all()
     if inv_np is not None:
         assert (np.asarray(_slot_of_id(cfg, geom)) == inv_np).all()
+
+
+@pytest.mark.parametrize("sync_every", [2, 4])
+def test_sync_every_bitwise_invariant(sync_every):
+    """Batching bounces between early-exit checks may overshoot dead tiles
+    but must never change any ray's radiance or count."""
+    cfg = RenderConfig(width=64, height=32, spp=1, max_bounces=8, seed=7)
+    scene = create_medium_scene(cfg.aspect)
+    prep = prepare(scene.spheres)
+    ray_id, rays = _primary_rays(cfg, scene)
+
+    (ar, ag, ab), n_a = trace_pallas(prep, *rays, ray_id, cfg,
+                                     tile_rays=1024, unroll=4, interpret=True)
+    (br, bg, bb), n_b = trace_pallas(prep, *rays, ray_id, cfg,
+                                     tile_rays=1024, unroll=4,
+                                     sync_every=sync_every, interpret=True)
+    assert int(n_a) == int(n_b)
+    for a, b in zip((ar, ag, ab), (br, bg, bb)):
+        assert (np.asarray(a) == np.asarray(b)).all()

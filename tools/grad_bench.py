@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark inverse-rendering gradient steps on the real TPU
+(BASELINE.json config 4: small scene, 200x100 @ 4 spp, max-depth 10).
+
+Reports grad-steps/s single-dispatch and sustained (N steps chained in one
+jit via lax.scan, amortizing the ~29 ms tunnel round trip).
+
+Usage: python tools/grad_bench.py [--steps 8] [--pallas-intersect]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--pallas-intersect", action="store_true")
+    args = ap.parse_args()
+
+    from rays1bench_tpu.core.cache import enable
+    enable()
+    import jax
+    import jax.numpy as jnp
+    from rays1bench_tpu.core.config import RenderConfig
+    from rays1bench_tpu.grad.inverse import (InverseConfig, image_loss,
+                                             make_train_step, params_of,
+                                             render_for_loss)
+    from rays1bench_tpu.scene import builders
+    import optax
+
+    cfg = RenderConfig(width=200, height=100, spp=4, max_bounces=10,
+                       early_exit=False,
+                       pallas_intersect=args.pallas_intersect)
+    # pad_multiple=8: the differentiable XLA path sweeps every SoA row
+    # densely, so don't carry 120 placeholder rows through the VJP.
+    scene = builders.create_small_scene(cfg.aspect, pad_multiple=8)
+    camera = scene.camera.build()
+    target = render_for_loss(scene.spheres, camera, cfg)
+
+    inv = InverseConfig()
+    step, optimizer = make_train_step(scene.spheres, camera, cfg, inv)
+    params = params_of(scene.spheres, inv.optimize)
+    opt_state = optimizer.init(params)
+
+    # single-dispatch step timing
+    params1, opt1, loss = step(params, opt_state, target)
+    float(loss)
+    times = []
+    for i in range(args.runs):
+        p = {k: v + (i + 1) * 1e-7 for k, v in params.items()}
+        t0 = time.perf_counter()
+        _, _, loss = step(p, opt_state, target)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    single = min(times)
+
+    # sustained: N chained steps in one jit
+    opt_tx = optax.adam(inv.learning_rate)
+
+    @jax.jit
+    def steps_n(params, opt_state, target):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(image_loss)(
+                params, scene.spheres, camera, target, cfg, None)
+            updates, opt_state = opt_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=args.steps)
+        return losses
+
+    losses = steps_n(params, opt_state, target)
+    float(losses.sum())
+    times = []
+    for i in range(args.runs):
+        p = {k: v + (i + 1) * 1e-7 for k, v in params.items()}
+        t0 = time.perf_counter()
+        losses = steps_n(p, opt_state, target)
+        float(losses.sum())
+        times.append(time.perf_counter() - t0)
+    sust = min(times) / args.steps
+    tag = "pallas-intersect" if args.pallas_intersect else "xla-intersect"
+    print(f"grad step ({tag}): single={single*1e3:.1f}ms "
+          f"({1/single:.1f} steps/s) sustained={sust*1e3:.2f}ms "
+          f"({1/sust:.1f} steps/s, {args.steps} chained) "
+          f"loss0={float(losses[0]):.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
