@@ -51,3 +51,15 @@ def test_graft_entry_dryrun():
     img, n = jax.jit(fn)(*args)
     assert img.shape[2] == 3
     mod.dryrun_multichip(8)
+
+
+def test_high_spp_sample_sharding(scene_and_camera):
+    """BASELINE config 5's shape at test scale: a high-spp render (sample
+    axis folded into the ray stream) sharded over all 8 devices, ray counts
+    and image identical to single-device."""
+    scene, camera = scene_and_camera
+    cfg = CFG.replace(width=32, height=16, spp=64, ray_chunk=4096)
+    ref, n_ref = render_image(scene.spheres, camera, cfg)
+    img, n = render_image_sharded(scene.spheres, camera, cfg, make_mesh(8))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
+    assert int(n) == int(n_ref)
