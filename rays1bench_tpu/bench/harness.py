@@ -44,10 +44,7 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
     checksum — the remote TPU runtime caches identical executions, so
     repeated identical calls would otherwise time as ~0."""
     if render_fn is None:
-        from rays1bench_tpu.kernels.pipeline import render_image_pallas
-        n_real = getattr(scene, "n_real", None) or None
-        render_fn = (lambda sph, cam, cfg_, _nr=n_real:
-                     render_image_pallas(sph, cam, cfg_, n_real=_nr))
+        render_fn = _default_render_fn(scene)
     camera = scene.camera.build()
 
     if warmup:  # compile outside the timed region (benchmark() times only
@@ -75,6 +72,14 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
     return results
 
 
+def _default_render_fn(scene):
+    """Megakernel pipeline with the scene's real-sphere trim applied."""
+    from rays1bench_tpu.kernels.pipeline import render_image_pallas
+    n_real = getattr(scene, "n_real", None) or None
+    return (lambda sph, cam, cfg_, _nr=n_real:
+            render_image_pallas(sph, cam, cfg_, n_real=_nr))
+
+
 def benchmark_sustained(scene, cfg: RenderConfig, frames: int = 8,
                         num_runs: int = 3, render_fn=None) -> BenchResult:
     """Sustained throughput: `frames` perturbed renders inside ONE jit
@@ -93,10 +98,7 @@ def benchmark_sustained(scene, cfg: RenderConfig, frames: int = 8,
     import jax.numpy as jnp
 
     if render_fn is None:
-        from rays1bench_tpu.kernels.pipeline import render_image_pallas
-        n_real = getattr(scene, "n_real", None) or None
-        render_fn = (lambda sph, cam, cfg_, _nr=n_real:
-                     render_image_pallas(sph, cam, cfg_, n_real=_nr))
+        render_fn = _default_render_fn(scene)
     camera = scene.camera.build()
 
     @jax.jit
@@ -104,10 +106,11 @@ def benchmark_sustained(scene, cfg: RenderConfig, frames: int = 8,
         def body(carry, salt):
             sph = _dc.replace(spheres, center_x=spheres.center_x + salt)
             img, nrays = render_fn(sph, camera, cfg)
-            s, r = carry
-            return (s + img.sum(), r + nrays.astype(jnp.uint32)), 0
-        (s, r), _ = jax.lax.scan(body, (jnp.float32(0), jnp.uint32(0)), salts)
-        return s, r
+            # per-frame counts out via ys: a uint32 total would wrap past
+            # 2^32 rays (e.g. 8 frames of the 250-spp profile)
+            return carry + img.sum(), nrays.astype(jnp.uint32)
+        s, per_frame = jax.lax.scan(body, jnp.float32(0), salts)
+        return s, per_frame
 
     salts = jnp.arange(1, frames + 1, dtype=jnp.float32) * 1e-7
     s, r = bench_n(scene.spheres, salts)
@@ -121,7 +124,7 @@ def benchmark_sustained(scene, cfg: RenderConfig, frames: int = 8,
         dt = time.perf_counter() - t0
         if best is None or dt < best:
             best = dt
-    return BenchResult(best, int(r))
+    return BenchResult(best, int(sum(int(x) for x in r)))
 
 
 def log_results(scene_name: str, results: List[BenchResult],

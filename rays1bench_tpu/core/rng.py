@@ -13,11 +13,15 @@ makes images deterministic under `shard_map` without any cross-device RNG state.
 
 The hash is the PCG-family integer hash ("pcg_hash" from Jarzynski & Olano,
 "Hash Functions for GPU Rendering", JCGT 2020) — a few VPU-friendly integer ops,
-usable identically inside Pallas kernels and plain jnp code. The lattice
-coordinates are combined linearly with large odd constants and hashed with ONE
-pcg round (the paper's recommended usage); the hash chain is on the megakernel's
-per-bounce critical path, and one round measurably beats three there while the
-golden-image statistics stay within tolerance (tests/test_pipeline.py).
+usable identically inside Pallas kernels and plain jnp code. The ray coordinate
+is hashed FIRST, then the (bounce, slot) Weyl offsets are folded in with a
+second round: a single round over one linear combination has exact lattice
+collisions (dray*K1 + dbounce*K2 + dslot*K3 = 0 mod 2^32 has solutions with
+dray ~ 6.1M — inside the id range of a 1280x720 render at >= 7 spp), which
+would replay entire draw sequences between ray pairs. Hashing the ray id
+before the linear (bounce, slot) fold leaves no in-range linear structure,
+and the hash chain is not on any measured critical path (stubbing the whole
+scatter+RNG out of the megakernel changes frame time by < 1%).
 
 Uniform floats keep the reference's 24-bit-mantissa convention:
 myrand01 = (bits & 0xFFFFFF) / 2^24  (mymath.h:27-30).
@@ -49,12 +53,13 @@ def hash_bits(seed, ray_id, bounce, slot):
     """uint32 random bits for lattice coordinates (seed, ray_id, bounce, slot).
 
     All arguments broadcast; ray_id is typically an (N,) int32 lane array while
-    seed/bounce/slot are scalars. Linear Weyl combination of the coordinates,
-    then one pcg round.
+    seed/bounce/slot are scalars. The ray coordinate is hashed before the
+    (bounce, slot) Weyl fold — see the module docstring for why one linear
+    round is not enough.
     """
     seed = jnp.asarray(seed).astype(jnp.uint32)
-    x = (seed
-         + jnp.asarray(ray_id).astype(jnp.uint32) * _STREAM_RAY
+    h = pcg_hash(seed + jnp.asarray(ray_id).astype(jnp.uint32) * _STREAM_RAY)
+    x = (h
          + jnp.asarray(bounce).astype(jnp.uint32) * _STREAM_BOUNCE
          + jnp.asarray(slot).astype(jnp.uint32) * _STREAM_SLOT)
     return pcg_hash(x)

@@ -508,8 +508,10 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     on absolute (ray_id, bounce); lane order cannot change any ray's math).
 
     Same contract as trace_pallas: ((rr, rg, rb) f32[N] in input SLOT order,
-    ray count). schedule entries are bounces per phase, cumulative-clamped to
-    max_bounces+1.
+    ray count). schedule entries are bounces per phase; the cumulative budget
+    is clamped down to max_bounces+1 (excess phases are skipped) and the LAST
+    phase is extended up to it (a schedule that under-covers the bounce range
+    would silently truncate paths).
     """
     n = ox.shape[0]
     assert n % tile_rays == 0, (n, tile_rays)
@@ -568,7 +570,11 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     b0 = 0
     last = len(schedule) - 1
     for i, k in enumerate(schedule):
+        if b0 > cfg.max_bounces:
+            break  # budget exhausted; don't dispatch no-op phases
         bend = min(b0 + k, cfg.max_bounces + 1)
+        if i == last:
+            bend = cfg.max_bounces + 1  # never truncate the final phase
         bspan = jnp.asarray([[b0, bend]], jnp.int32)
         outs = phase_call(bspan, packed, bounds, *state[:6], rid, *state[6:])
         state = list(outs[:13])

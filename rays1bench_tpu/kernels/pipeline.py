@@ -231,7 +231,11 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     spheres = prepare(spheres_soa)
     if unroll <= 0:  # cull == "none" path (no row trimming happened)
         count = spheres.count
-        unroll = count if count <= 64 else max(count // 2, 8)
+        if count <= 64:
+            unroll = count
+        else:  # largest divisor of count that is <= max(count // 2, 256)
+            cap = min(count // 2, 256)
+            unroll = next(d for d in range(cap, 0, -1) if count % d == 0)
     n = cfg.num_primary_rays
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(

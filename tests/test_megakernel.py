@@ -108,7 +108,7 @@ def test_pipeline_matches_xla_pipeline():
 
 
 @pytest.mark.parametrize("schedule", [(2, 3, 6), (1, 1, 1, 1, 1, 1, 1, 1, 1),
-                                      (20,)])
+                                      (20,), (2, 3), (1,) * 16])
 def test_wavefront_matches_oneshot_bitwise(schedule):
     """Phased + compacted tracing must be BITWISE identical per ray to the
     one-shot kernel: stateless RNG on absolute (ray_id, bounce) means lane
