@@ -391,18 +391,22 @@ def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
                                     "chunk_size", "sync_every", "interpret",
-                                    "debug_iters"))
+                                    "debug_iters", "n_rays"))
 def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                  cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
                  bounds=None, chunk_size: int = 32, sync_every: int = 1,
-                 interpret: bool = False, debug_iters: bool = False
+                 interpret: bool = False, debug_iters: bool = False,
+                 n_rays: int = 0
                  ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Trace N primary rays through the megakernel.
 
-    Rays beyond cfg.num_primary_rays are treated as padding (never alive,
-    never counted); N must be a multiple of tile_rays. Returns
-    ((rr, rg, rb) f32[N], num_rays uint32). Semantically matches
-    render.integrator.trace (tested against it in tests/test_megakernel.py).
+    Lanes with ray_id >= n_rays are padding (never alive, never counted);
+    n_rays defaults to min(N, cfg.num_primary_rays) — a sharded caller whose
+    per-device slice is smaller than the global ray count passes
+    n_rays=cfg.num_primary_rays explicitly (ids are always global). N must be
+    a multiple of tile_rays. Returns ((rr, rg, rb) f32[N], num_rays uint32).
+    Semantically matches render.integrator.trace (tested against it in
+    tests/test_megakernel.py).
 
     `bounds` (float32[4, S/chunk_size], from kernels.culling.chunk_bounds over
     Morton-sorted spheres) enables chunk culling; spheres must already be in
@@ -412,7 +416,7 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     assert n % tile_rays == 0, (n, tile_rays)
     sub = tile_rays // LANES
     num_tiles = n // tile_rays
-    n_active = min(n, cfg.num_primary_rays)
+    n_active = n_rays if n_rays > 0 else min(n, cfg.num_primary_rays)
 
     packed = _pack_spheres(spheres)
     use_cull = bounds is not None

@@ -96,18 +96,22 @@ def _tile_order(width: int, height: int, spp: int, tile_rays: int):
     return ids, x, y, inv, (gy, gx, th, tw)
 
 
-def _tile_coords(cfg: RenderConfig, geom, n_slots: int):
+def _tile_coords(cfg: RenderConfig, geom, n_slots: int = 0, slot=None):
     """Arithmetic (in-jit) slot -> (ray_id, x, y) for the tile order of
-    _tile_order, from a broadcasted iota.
+    _tile_order, from a broadcasted iota (or an explicit slot array — the
+    sharded path passes each device's slot range).
 
     The numpy arrays _tile_order builds would be baked into the jit as HLO
     literal constants — 3 x 14.7 MB at 1280x720x4spp, which the remote TPU
     runtime ships with EVERY execution (~29 ms/frame measured, dwarfing the
     small scene's 4 ms trace). Index arithmetic on an iota costs ~nothing and
-    keeps the executable constant-free."""
+    keeps the executable constant-free. Out-of-range slots (>= the grid's
+    slot count) decompose to out-of-image pixels and map to the padding id
+    cfg.num_primary_rays."""
     gy, gx, th, tw = geom
     spp = cfg.spp
-    slot = jax.lax.iota(jnp.int32, n_slots)
+    if slot is None:
+        slot = jax.lax.iota(jnp.int32, n_slots)
     s = slot % spp
     r = slot // spp
     px = r % tw
@@ -139,6 +143,47 @@ def _slot_of_id(cfg: RenderConfig, geom):
     y = pix // cfg.width
     return ((((y // th) * gx + (x // tw)) * th + y % th) * tw
             + x % tw) * spp + s
+
+
+def prepare_trimmed(spheres_soa: SphereSOA, unroll: int, cull: str,
+                    chunk_size: int, n_real: Optional[int]):
+    """Morton-sort + placeholder-trim the SoA and resolve the auto unroll.
+
+    Returns (PreparedSpheres, bounds-or-None, unroll). Shared by the
+    single-chip and shard_map pipelines (the trim is replicated scene prep,
+    never sharded)."""
+    bounds = None
+    if cull != "none":
+        import dataclasses as _dc
+        valid = spheres_soa.radius != 0.0
+        perm = culling.morton_order(spheres_soa.center_x,
+                                    spheres_soa.center_y,
+                                    spheres_soa.center_z, valid)
+        granule = chunk_size if cull == "bounds" else max(unroll, 8)
+        keep = (_keep_count(n_real, perm.shape[0], granule)
+                if n_real is not None else
+                max(-(-perm.shape[0] // granule) * granule, granule))
+        if unroll <= 0:
+            unroll = keep if keep <= 64 else keep // 2
+        idx = perm[:keep]
+        spheres_soa = _dc.replace(spheres_soa, **{
+            f.name: jnp.take(getattr(spheres_soa, f.name), idx)
+            for f in _dc.fields(spheres_soa)})
+        if cull == "bounds":
+            bounds = culling.chunk_bounds(
+                spheres_soa.center_x, spheres_soa.center_y,
+                spheres_soa.center_z, spheres_soa.radius,
+                spheres_soa.radius != 0.0, chunk_size)
+
+    spheres = prepare(spheres_soa)
+    if unroll <= 0:  # cull == "none" path (no row trimming happened)
+        count = spheres.count
+        if count <= 64:
+            unroll = count
+        else:  # largest divisor of count that is <= max(count // 2, 256)
+            cap = min(count // 2, 256)
+            unroll = next(d for d in range(cap, 0, -1) if count % d == 0)
+    return spheres, bounds, unroll
 
 
 def _keep_count(n_real: int, n_padded: int, granule: int) -> int:
@@ -205,37 +250,8 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
                 wavefront: Optional[Tuple[int, ...]] = None,
                 sync_every: int = 0
                 ) -> Tuple[jax.Array, jax.Array]:
-    bounds = None
-    if cull != "none":
-        import dataclasses as _dc
-        valid = spheres_soa.radius != 0.0
-        perm = culling.morton_order(spheres_soa.center_x,
-                                    spheres_soa.center_y,
-                                    spheres_soa.center_z, valid)
-        granule = chunk_size if cull == "bounds" else max(unroll, 8)
-        keep = (_keep_count(n_real, perm.shape[0], granule)
-                if n_real is not None else
-                max(-(-perm.shape[0] // granule) * granule, granule))
-        if unroll <= 0:
-            unroll = keep if keep <= 64 else keep // 2
-        idx = perm[:keep]
-        spheres_soa = _dc.replace(spheres_soa, **{
-            f.name: jnp.take(getattr(spheres_soa, f.name), idx)
-            for f in _dc.fields(spheres_soa)})
-        if cull == "bounds":
-            bounds = culling.chunk_bounds(
-                spheres_soa.center_x, spheres_soa.center_y,
-                spheres_soa.center_z, spheres_soa.radius,
-                spheres_soa.radius != 0.0, chunk_size)
-
-    spheres = prepare(spheres_soa)
-    if unroll <= 0:  # cull == "none" path (no row trimming happened)
-        count = spheres.count
-        if count <= 64:
-            unroll = count
-        else:  # largest divisor of count that is <= max(count // 2, 256)
-            cap = min(count // 2, 256)
-            unroll = next(d for d in range(cap, 0, -1) if count % d == 0)
+    spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, cull,
+                                              chunk_size, n_real)
     n = cfg.num_primary_rays
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(

@@ -65,3 +65,73 @@ def render_image_sharded(spheres_soa: SphereSOA, camera: Camera,
                      rb.reshape(-1)[:n]], axis=-1)
     image = rad.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(axis=2)
     return image, count
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name", "tile_rays",
+                                   "unroll", "n_real", "interpret"))
+def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
+                                cfg: RenderConfig, mesh: Mesh,
+                                axis_name: str = "rays",
+                                tile_rays: int = 2048, unroll: int = 0,
+                                n_real=None, interpret: bool = False
+                                ) -> Tuple[jax.Array, jax.Array]:
+    """The production multi-chip path: the Pallas megakernel under shard_map.
+
+    Pixel-tile slots are statically split across the mesh's `axis_name` axis
+    (whole kernel tiles per device — the SPMD replacement for the reference's
+    atomic tile queue, rayweek1.cpp:830-842); the trimmed sphere SoA and
+    camera are replicated; each device runs trace_pallas on its slice; the
+    ray counter is psum-reduced over ICI. Stateless RNG on global ray ids
+    makes the image bit-identical to the single-device megakernel render.
+    """
+    from rays1bench_tpu.kernels.megakernel import trace_pallas
+    from rays1bench_tpu.kernels.pipeline import (_tile_order, _tile_coords,
+                                                 _slot_of_id, prepare_trimmed)
+    from rays1bench_tpu.core import rng as rng_mod
+
+    spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll,
+                                              "sort_trim", 64, n_real)
+    assert bounds is None
+    n = cfg.num_primary_rays
+    n_dev = mesh.shape[axis_name]
+    ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
+        cfg.width, cfg.height, cfg.spp, tile_rays)
+    n_slots = len(ids_np)
+    per_dev = _round_up(-(-n_slots // n_dev), tile_rays)
+    seed = jnp.uint32(cfg.seed)
+
+    def local(spheres, camera):
+        slot0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * per_dev
+        slot = slot0 + jax.lax.iota(jnp.int32, per_dev)
+        ray_id, x, y = _tile_coords(cfg, (gy, gx, th, tw), slot=slot)
+        ju, jv = rng_mod.pixel_jitter(seed, ray_id)
+        s = (x + ju) * jnp.float32(1.0 / cfg.width)
+        t = (y + jv) * jnp.float32(1.0 / cfg.height)
+        ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
+        (rr, rg, rb), nr = trace_pallas(spheres, ox, oy, oz, dx, dy, dz,
+                                        ray_id, cfg, tile_rays=tile_rays,
+                                        unroll=unroll, n_rays=n,
+                                        interpret=interpret)
+        count = jax.lax.psum(nr, axis_name)
+        return rr[None], rg[None], rb[None], count
+
+    # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
+    # metadata, which the vma checker (on by default) rejects inside
+    # shard_map.
+    rr, rg, rb, count = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        check_vma=False,
+    )(spheres, camera)
+
+    def unpermute(a):
+        a = a.reshape(-1)[:n_slots]
+        if inv_np is None:
+            return a.reshape(gy, gx, th, tw, cfg.spp).transpose(
+                0, 2, 1, 3, 4).reshape(cfg.height, cfg.width, cfg.spp)
+        return jnp.take(a, _slot_of_id(cfg, (gy, gx, th, tw))).reshape(
+            cfg.height, cfg.width, cfg.spp)
+
+    rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
+    return rad.mean(axis=2), count

@@ -63,3 +63,29 @@ def test_high_spp_sample_sharding(scene_and_camera):
     img, n = render_image_sharded(scene.spheres, camera, cfg, make_mesh(8))
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
     assert int(n) == int(n_ref)
+
+
+def test_pallas_sharded_matches_single_device(scene_and_camera):
+    """The production multi-chip path (megakernel under shard_map) is
+    bit-identical to the single-device megakernel render."""
+    import functools
+    from rays1bench_tpu.kernels import pipeline as kp
+    from rays1bench_tpu.parallel.shard import render_image_pallas_sharded
+
+    scene, camera = scene_and_camera
+    orig = kp.trace_pallas
+    kp._render_jit._clear_cache()
+    try:
+        kp.trace_pallas = functools.partial(orig, interpret=True)
+        ref, n_ref = kp.render_image_pallas(scene.spheres, camera, CFG,
+                                            tile_rays=1024, unroll=4,
+                                            n_real=scene.n_real)
+    finally:
+        kp.trace_pallas = orig
+        kp._render_jit._clear_cache()
+    for n_dev in (2, 8):
+        img, n = render_image_pallas_sharded(
+            scene.spheres, camera, CFG, make_mesh(n_dev),
+            tile_rays=1024, unroll=4, n_real=scene.n_real, interpret=True)
+        assert int(n) == int(n_ref)
+        assert (np.asarray(img) == np.asarray(ref)).all()
