@@ -115,16 +115,17 @@ def benchmark_sustained(scene, cfg: RenderConfig, frames: int = 8,
     salts = jnp.arange(1, frames + 1, dtype=jnp.float32) * 1e-7
     s, r = bench_n(scene.spheres, salts)
     float(s)  # compile + warm
-    best = None
-    for i in range(num_runs):
+    best = None  # (dt, rays) from the SAME run: per-run salts perturb sphere
+    for i in range(num_runs):  # positions, so bounce counts differ slightly
         salts_i = salts + (i + 1) * 1e-9  # defeat the runtime's result cache
         t0 = time.perf_counter()
         s, r = bench_n(scene.spheres, salts_i)
         float(s)
         dt = time.perf_counter() - t0
-        if best is None or dt < best:
-            best = dt
-    return BenchResult(best, int(sum(int(x) for x in r)))
+        rays = int(sum(int(x) for x in r))
+        if best is None or dt < best[0]:
+            best = (dt, rays)
+    return BenchResult(best[0], best[1])
 
 
 def log_results(scene_name: str, results: List[BenchResult],

@@ -89,8 +89,8 @@ _INV_2_16 = np.float32(1.0 / 65536.0)
 def uniform_pair16(seed, ray_id, bounce, slot):
     """TWO uniforms in [0,1) at 16-bit resolution from ONE hash.
 
-    The hash chain (3 PCG rounds, ~35 integer ops) dominates RNG cost on the
-    VPU; splitting the 32 output bits halves it. 16-bit resolution is ample
+    The hash chain (2 PCG rounds plus the Weyl folds, ~25 integer ops)
+    dominates RNG cost on the VPU; splitting the 32 output bits halves it. 16-bit resolution is ample
     for jitter/angle draws (the reference itself only keeps 24 bits,
     mymath.h:27-30)."""
     bits = hash_bits(seed, ray_id, bounce, slot)
@@ -109,8 +109,9 @@ def in_unit_ball(seed, ray_id, bounce, slot0=0):
     random_in_unit_sphere) — an unbounded data-dependent loop that can't live
     under jit. Same distribution analytically: an isotropic direction from
     (z, phi) area sampling, scaled by a radius with CDF r^3 so volume is
-    uniform. The radial draw uses max(w1, w2, w3) of three uniforms — exactly
-    the r^3 CDF — instead of cbrt(w): cbrt has no Mosaic lowering and its
+    uniform. The radial draw uses max(w1, w2, w3) of three uniforms — the
+    r^3 CDF up to 10-bit quantization (r is discrete over 1024 levels,
+    E[r]~0.7495 vs 0.75, and never reaches 1) — instead of cbrt(w): cbrt has no Mosaic lowering and its
     exp(log(w)/3) expansion is two transcendentals on the per-bounce critical
     path, vs. two vector max ops here. 10-bit radial resolution (the three
     draws share one hash word); direction resolution stays 16-bit. Uses slots

@@ -518,6 +518,7 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     would silently truncate paths).
     """
     n = ox.shape[0]
+    assert schedule, schedule
     assert n % tile_rays == 0, (n, tile_rays)
     assert n < (1 << 26), n
     sub = tile_rays // LANES

@@ -180,7 +180,7 @@ def prepare_trimmed(spheres_soa: SphereSOA, unroll: int, cull: str,
         count = spheres.count
         if count <= 64:
             unroll = count
-        else:  # largest divisor of count that is <= max(count // 2, 256)
+        else:  # largest divisor of count that is <= min(count // 2, 256)
             cap = min(count // 2, 256)
             unroll = next(d for d in range(cap, 0, -1) if count % d == 0)
     return spheres, bounds, unroll
