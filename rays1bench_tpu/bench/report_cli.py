@@ -37,33 +37,61 @@ REFERENCE_PUBLISHED = {
 }
 
 
+def scene_table(dirs, scene, include_reference=True) -> str:
+    recs = list(REFERENCE_PUBLISHED.get(scene, [])) if include_reference else []
+    recs += report.collect(dirs, scene)
+    return report.markdown_table(recs) if recs else ""
+
+
 def generate(dirs, scenes, include_reference=True) -> str:
     lines = ["# Benchmark results", ""]
     for scene in scenes:
-        recs = list(REFERENCE_PUBLISHED.get(scene, [])) if include_reference else []
-        recs += report.collect(dirs, scene)
-        if not recs:
+        table = scene_table(dirs, scene, include_reference)
+        if not table:
             continue
         lines.append(f"## {scene}")
         lines.append("")
-        lines.append(report.markdown_table(recs))
+        lines.append(table)
         lines.append("")
     return "\n".join(lines)
 
 
+def generate_from_template(template_path, out_path, dirs, scenes,
+                           include_reference=True) -> str:
+    """Regenerate a results file from a template with __RESULTS_<SCENE>__
+    placeholders — the reference's README regeneration flow
+    (update_readme.py:49-69), applied to RESULTS.md."""
+    subs = {f"__RESULTS_{s.upper()}__": scene_table(dirs, s,
+                                                    include_reference)
+            for s in scenes}
+    report.render_template(template_path, out_path, subs)
+    with open(out_path) as f:
+        return f.read()
+
+
 def main(argv=None):
+    import os
     ap = argparse.ArgumentParser(prog="rays1bench_tpu.bench.report_cli")
-    ap.add_argument("--dirs", default=".",
+    ap.add_argument("--dirs", default="records",
                     help="comma-separated dirs with out_<scene>.txt records")
     ap.add_argument("--scenes", default="large,medium,small")
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--template", default="RESULTS_template.md",
+                    help="prose template with __RESULTS_<SCENE>__ "
+                         "placeholders; plain table mode if absent")
     ap.add_argument("--no-reference", action="store_true",
                     help="omit the published reference rows")
     args = ap.parse_args(argv)
-    text = generate(args.dirs.split(","), args.scenes.split(","),
-                    include_reference=not args.no_reference)
-    with open(args.out, "w") as f:
-        f.write(text)
+    dirs = args.dirs.split(",")
+    scenes = args.scenes.split(",")
+    if os.path.exists(args.template):
+        text = generate_from_template(args.template, args.out, dirs, scenes,
+                                      include_reference=not args.no_reference)
+    else:
+        text = generate(dirs, scenes,
+                        include_reference=not args.no_reference)
+        with open(args.out, "w") as f:
+            f.write(text)
     print(text)
 
 
