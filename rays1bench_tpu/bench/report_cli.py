@@ -72,7 +72,7 @@ def generate_from_template(template_path, out_path, dirs, scenes,
 def main(argv=None):
     import os
     ap = argparse.ArgumentParser(prog="rays1bench_tpu.bench.report_cli")
-    ap.add_argument("--dirs", default="records",
+    ap.add_argument("--dirs", default="records/ref_matched,records",
                     help="comma-separated dirs with out_<scene>.txt records")
     ap.add_argument("--scenes", default="large,medium,small")
     ap.add_argument("--out", default="RESULTS.md")

@@ -69,12 +69,20 @@ def test_golden_small_vs_step1(golden_dir):
 
 
 def test_ray_count_tracks_reference_scale():
-    """Ray-count invariance (SURVEY.md §4): counts should be within a few
-    percent of the reference's for the same workload. Reference quick MT
-    medium: 1294762 rays at 100 spp -> ~51790 at 4 spp."""
-    cfg = RenderConfig(width=80, height=60, spp=4, max_bounces=12,
-                       ray_chunk=8192)
+    """Ray-count invariance (SURVEY.md §4) at the reference's own quick MT
+    workload with matched bounce depth: the reference compiled on this box
+    with -DQUICKBENCH and MAX_BOUNCES 10 counts 1,263,296 rays on medium
+    (80x60 @ 100 spp, avg of 3 runs); we measure +0.02%. RNG streams differ
+    by construction, so the tolerance is statistical: per-sample bounce-count
+    std ~2 over 480K samples -> ~0.1% fluctuation; 0.3% is 3 sigma.
+
+    Full-workload counts (1280x720 @ 4 spp @ 10 bounces) are pinned in
+    RESULTS.md: large 0.04%, medium 0.02%; small diverges 2.6% by design
+    (correct hollow glass vs the reference's placeholder skip,
+    SURVEY.md §7.1-5a)."""
+    cfg = RenderConfig(width=80, height=60, spp=100, max_bounces=10,
+                       ray_chunk=65536)
     scene = builders.create_medium_scene(cfg.aspect)
     _, num = render_scene(scene, cfg)
-    expected = 1294762 * 4 / 100
-    assert abs(num - expected) / expected < 0.05
+    expected = 1263296
+    assert abs(int(num) - expected) / expected < 0.003

@@ -64,6 +64,7 @@ def test_results_md_regenerates_byte_for_byte(tmp_path):
     regenerated = generate_from_template(
         os.path.join(root, "RESULTS_template.md"),
         str(tmp_path / "RESULTS.md"),
-        [os.path.join(root, "records")],
+        [os.path.join(root, "records", "ref_matched"),
+         os.path.join(root, "records")],
         ["large", "medium", "small"])
     assert regenerated == committed
