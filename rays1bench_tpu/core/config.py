@@ -45,8 +45,23 @@ class RenderConfig:
     # Use the Pallas closest-hit index kernel inside the XLA pipeline's
     # intersection (kernels/intersect_pallas.py). Speeds up the
     # differentiable path; gradients are unaffected (hit topology is
-    # stop_gradient'ed either way).
-    pallas_intersect: bool = False
+    # stop_gradient'ed either way). None = auto: off in the plain forward
+    # pipeline, ON in the gradient path (grad/inverse._grad_cfg) — the
+    # sweep is gradient-free there, so the lean Pallas kernel is strictly
+    # better. Pass an explicit bool to override either way.
+    pallas_intersect: Optional[bool] = None
+    # Soft-silhouette relaxation width for inverse rendering (0 = off, the
+    # exact renderer). When > 0, a hit lane's throughput is split by a
+    # sigmoid coverage of the winning sphere's normalized discriminant:
+    # cover = sigmoid((disc / |radius^2|) / soft_silhouette). Interior hits
+    # saturate to cover = 1; rays inside the silhouette band leak
+    # (1 - cover) of their throughput to the sky. This makes silhouette
+    # motion differentiable (d cover / d center, radius != 0 at the edge),
+    # which the fixed-topology gradient (SURVEY.md §7.3) structurally lacks
+    # — the enabler for fitting sphere GEOMETRY to images
+    # (examples/inverse_rendering.py --fit-geometry). Affects the XLA/grad
+    # pipeline only; the megakernel forward ignores it.
+    soft_silhouette: float = 0.0
 
     @property
     def aspect(self) -> float:

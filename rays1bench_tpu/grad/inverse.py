@@ -42,7 +42,17 @@ class InverseConfig:
 
 
 def _grad_cfg(cfg: RenderConfig) -> RenderConfig:
-    return cfg if not cfg.early_exit else cfg.replace(early_exit=False)
+    """Gradient-path config: fixed-trip loop (reverse-mode AD cannot
+    differentiate lax.while_loop) and the Pallas closest-hit index kernel
+    (the intersection sweep is gradient-free by design — stop_gradient'ed
+    hit topology — so the lean Pallas sweep replaces the HBM-bound dense
+    XLA (N, S) sweep in the forward, and the backward replays only the
+    O(N) chain; see render/integrator.py)."""
+    if cfg.early_exit:
+        cfg = cfg.replace(early_exit=False)
+    if cfg.pallas_intersect is None:
+        cfg = cfg.replace(pallas_intersect=True)
+    return cfg
 
 
 def params_of(spheres: SphereSOA, names: Tuple[str, ...]) -> Dict[str, jax.Array]:

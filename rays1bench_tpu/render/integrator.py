@@ -40,14 +40,18 @@ def sky_color(dx, dy, dz):
 
 
 def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
-                 t_min, t_max, max_bounces, intersector=None):
+                 t_min, t_max, max_bounces, intersector=None,
+                 soft_eps: float = 0.0):
     (bounce, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive,
      num_rays) = state
 
     num_rays = num_rays + jnp.sum(alive.astype(jnp.uint32))
 
-    intersector = intersector or closest_hit
-    rec = intersector(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max)
+    if intersector is None:
+        rec = closest_hit(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max,
+                          soft_eps=soft_eps)
+    else:
+        rec = intersector(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max)
 
     # Miss -> accumulate attenuated sky, lane dies.
     skr, skg, skb = sky_color(dx, dy, dz)
@@ -56,9 +60,23 @@ def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
     rg = rg + jnp.where(miss, ag * skg, 0.0)
     rb = rb + jnp.where(miss, ab * skb, 0.0)
 
+    if soft_eps:
+        # Soft silhouette (cfg.soft_silhouette): a hit lane's throughput is
+        # split by the winning sphere's coverage — (1 - cover) leaks to the
+        # sky NOW, cover continues into the scatter. Interior hits have
+        # cover = 1 (exact render); the sigmoid band at the silhouette makes
+        # edge motion differentiable w.r.t. center/radius.
+        hitm = alive & rec.hit
+        leak = 1.0 - rec.cover
+        rr = rr + jnp.where(hitm, ar * leak * skr, 0.0)
+        rg = rg + jnp.where(hitm, ag * leak * skg, 0.0)
+        rb = rb + jnp.where(hitm, ab * leak * skb, 0.0)
+
     # Hit -> scatter if depth allows (depth < MAX_BOUNCES, rayweek1.cpp:523).
     (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed, ray_id,
                                              bounce)
+    if soft_eps:
+        mr, mg, mb = mr * rec.cover, mg * rec.cover, mb * rec.cover
     cont = alive & rec.hit & ok & (bounce < max_bounces)
 
     ox = jnp.where(cont, rec.px, ox)
@@ -76,14 +94,22 @@ def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "t_min", "t_max",
-                                   "early_exit", "intersector"))
+                                   "early_exit", "intersector", "remat",
+                                   "soft_eps"))
 def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
           max_bounces: int = 50, t_min: float = 1e-3, t_max: float = 3.4e38,
-          early_exit: bool = True, active=None, intersector=None):
+          early_exit: bool = True, active=None, intersector=None,
+          remat: bool = False, soft_eps: float = 0.0):
     """Trace a wavefront of N primary rays to completion.
 
     `active` optionally masks out padding lanes (bool[N]); inactive lanes are
     dead from the start and are never counted.
+
+    `remat` (fixed-trip Pallas-intersect path only): rematerialize bounce
+    bodies in the backward, saving only the per-bounce hit topology. Costs
+    ~20% grad-step time, saves the ~30 N-sized per-bounce residuals — the
+    caller turns it on when chunked lax.map would STACK those residuals
+    across chunks (render/pipeline.py).
 
     Returns ((rr, rg, rb), num_rays): per-ray linear radiance and the number
     of rays traced (uint32; counts bounces, reference metric).
@@ -102,7 +128,8 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
     body = lambda s: _bounce_step(s, spheres, seed, ray_id,
                                   jnp.float32(t_min), jnp.float32(t_max),
                                   jnp.int32(max_bounces),
-                                  intersector=intersector)
+                                  intersector=intersector,
+                                  soft_eps=soft_eps)
 
     if early_exit:
         # Recursion-style early exit: stop when every lane is dead. The trip
@@ -112,6 +139,25 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
         state = jax.lax.while_loop(cond, body, state)
     else:
         # Fixed-trip path for reverse-mode AD (scan-lowered fori_loop).
+        if intersector is not None and remat:
+            # Pallas-intersect grad path: rematerialize each bounce in the
+            # backward, saving ONLY the per-bounce hit topology ("hit_idx" /
+            # "hit_mask", named in render/pipeline.py). The backward then
+            # replays the O(N) differentiable chain (hit record from index,
+            # scatter, attenuation) from the saved indices — the O(N*S)
+            # intersection sweep never runs nor stores anything in reverse.
+            # This is the replay design from the reference's single shared
+            # hot loop (rayweek1.cpp:152-339): one fast forward, gradients
+            # at fixed per-bounce hit topology. prevent_cse=False is the
+            # documented setting for remat under scan/fori.
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "hit_idx", "hit_mask"),
+                prevent_cse=False)
+        # NOTE: unrolling this loop (straight-line graph) was measured to
+        # explode compile time ~10x on both backends for no recorded win;
+        # keep the scan-lowered fori_loop.
         state = jax.lax.fori_loop(0, max_bounces + 1,
                                   lambda _, s: body(s), state)
 

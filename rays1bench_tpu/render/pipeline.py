@@ -27,6 +27,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from rays1bench_tpu.core import rng as rng_mod
 from rays1bench_tpu.core.config import RenderConfig
 from rays1bench_tpu.render.camera import Camera
@@ -35,8 +37,13 @@ from rays1bench_tpu.scene.soa_spheres import SphereSOA
 from rays1bench_tpu.scene.spheres import prepare
 
 
-def _trace_chunk(spheres, camera: Camera, ray_id, active, seed, cfg: RenderConfig):
-    """Generate and trace one chunk of primary rays by global ray id."""
+def _trace_chunk(spheres, camera: Camera, ray_id, active, seed,
+                 cfg: RenderConfig, remat: bool = False):
+    """Generate and trace one chunk of primary rays by global ray id.
+
+    remat: rematerialize bounce bodies in the backward (integrator.trace) —
+    the caller sets it when multiple chunks would stack their per-bounce
+    residuals under lax.map."""
     spp = jnp.int32(cfg.spp)
     pixel = ray_id // spp
     x = (pixel % jnp.int32(cfg.width)).astype(jnp.float32)
@@ -56,18 +63,26 @@ def _trace_chunk(spheres, camera: Camera, ray_id, active, seed, cfg: RenderConfi
         interp = _jax.default_backend() == "cpu"
 
         tmin_static = float(cfg.t_min)  # custom_vjp nondiff arg: no tracers
+        soft_eps = float(cfg.soft_silhouette)
 
         def intersector(ox_, oy_, oz_, dx_, dy_, dz_, sph, tmin, tmax):
             del tmin, tmax  # traced copies; the static value is equivalent
             idx, hit = closest_hit_index(sph, ox_, oy_, oz_, dx_, dy_, dz_,
                                          tmin_static, 2048, interp)
+            # Named for the grad path's remat policy (render/integrator.py):
+            # the per-bounce hit topology is the ONLY saved residual; the O(N)
+            # differentiable chain is rematerialized from it in the backward.
+            idx = checkpoint_name(idx, "hit_idx")
+            hit = checkpoint_name(hit, "hit_mask")
             return hit_record_from_index(ox_, oy_, oz_, dx_, dy_, dz_, sph,
-                                         idx, hit, tmin_static)
+                                         idx, hit, tmin_static,
+                                         soft_eps=soft_eps)
 
     (rr, rg, rb), num_rays = trace(
         spheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
         max_bounces=cfg.max_bounces, t_min=cfg.t_min, t_max=cfg.t_max,
-        early_exit=cfg.early_exit, active=active, intersector=intersector)
+        early_exit=cfg.early_exit, active=active, intersector=intersector,
+        remat=remat, soft_eps=float(cfg.soft_silhouette))
     return rr, rg, rb, num_rays
 
 
@@ -91,10 +106,15 @@ def render_image(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig
 
     ids = jnp.arange(padded, dtype=jnp.int32).reshape(num_chunks, chunk)
     seed = jnp.uint32(cfg.seed)
+    # Remat bounce bodies only when lax.map would stack per-chunk residuals
+    # (single-chunk renders keep everything live — ~20% faster grad steps,
+    # tools/grad_bench.py).
+    remat = num_chunks > 1
 
     def body(ray_id):
         active = ray_id < n
-        return _trace_chunk(spheres, camera, ray_id, active, seed, cfg)
+        return _trace_chunk(spheres, camera, ray_id, active, seed, cfg,
+                            remat=remat)
 
     rr, rg, rb, counts = jax.lax.map(body, ids)
 

@@ -19,7 +19,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--pallas-intersect", action="store_true")
+    ap.add_argument("--xla-intersect", action="store_true",
+                    help="force the dense XLA intersection sweep (the "
+                         "gradient path default is the Pallas index kernel)")
+    ap.add_argument("--width", type=int, default=200)
+    ap.add_argument("--height", type=int, default=100)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--scene", default="small",
+                    choices=["small", "medium", "large"])
     args = ap.parse_args()
 
     from rays1bench_tpu.core.cache import enable
@@ -33,12 +40,13 @@ def main():
     from rays1bench_tpu.scene import builders
     import optax
 
-    cfg = RenderConfig(width=200, height=100, spp=4, max_bounces=10,
-                       early_exit=False,
-                       pallas_intersect=args.pallas_intersect)
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_bounces=10, early_exit=False,
+                       pallas_intersect=False if args.xla_intersect else None)
     # pad_multiple=8: the differentiable XLA path sweeps every SoA row
     # densely, so don't carry 120 placeholder rows through the VJP.
-    scene = builders.create_small_scene(cfg.aspect, pad_multiple=8)
+    build = getattr(builders, f"create_{args.scene}_scene")
+    scene = build(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
     target = render_for_loss(scene.spheres, camera, cfg)
 
@@ -85,8 +93,9 @@ def main():
         float(losses.sum())
         times.append(time.perf_counter() - t0)
     sust = min(times) / args.steps
-    tag = "pallas-intersect" if args.pallas_intersect else "xla-intersect"
-    print(f"grad step ({tag}): single={single*1e3:.1f}ms "
+    tag = "xla-intersect" if args.xla_intersect else "pallas-intersect"
+    print(f"grad step ({args.scene} {args.width}x{args.height}@{args.spp}spp, "
+          f"{tag}): single={single*1e3:.1f}ms "
           f"({1/single:.1f} steps/s) sustained={sust*1e3:.2f}ms "
           f"({1/sust:.1f} steps/s, {args.steps} chained) "
           f"loss0={float(losses[0]):.3e}", flush=True)
