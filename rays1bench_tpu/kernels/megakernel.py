@@ -486,12 +486,13 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
-                                    "chunk_size", "schedule", "interpret"))
+                                    "chunk_size", "schedule", "interpret",
+                                    "n_rays"))
 def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
                            ray_id, cfg: RenderConfig, tile_rays: int = 2048,
                            unroll: int = 16, bounds=None, chunk_size: int = 64,
                            schedule: Tuple[int, ...] = (2, 3, 6),
-                           interpret: bool = False
+                           interpret: bool = False, n_rays: int = 0
                            ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Wavefront-compacted trace: phases of K bounces with live-ray compaction
     in between.
@@ -512,10 +513,12 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     on absolute (ray_id, bounce); lane order cannot change any ray's math).
 
     Same contract as trace_pallas: ((rr, rg, rb) f32[N] in input SLOT order,
-    ray count). schedule entries are bounces per phase; the cumulative budget
-    is clamped down to max_bounces+1 (excess phases are skipped) and the LAST
-    phase is extended up to it (a schedule that under-covers the bounce range
-    would silently truncate paths).
+    ray count), including the n_rays override for sharded callers whose
+    per-device slice is smaller than the global ray count. schedule entries
+    are bounces per phase; the cumulative budget is clamped down to
+    max_bounces+1 (excess phases are skipped) and the LAST phase is extended
+    up to it (a schedule that under-covers the bounce range would silently
+    truncate paths).
     """
     n = ox.shape[0]
     assert schedule, schedule
@@ -523,7 +526,7 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     assert n < (1 << 26), n
     sub = tile_rays // LANES
     num_tiles = n // tile_rays
-    n_active = min(n, cfg.num_primary_rays)
+    n_active = n_rays if n_rays > 0 else min(n, cfg.num_primary_rays)
 
     packed = _pack_spheres(spheres)
     use_cull = bounds is not None

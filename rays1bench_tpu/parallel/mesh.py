@@ -31,3 +31,18 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rays",
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh2d(n_tiles: int, n_samples: int,
+                axis_names: Sequence[str] = ("tiles", "samples"),
+                devices: Optional[Sequence] = None) -> Mesh:
+    """A (tiles, samples) 2-D mesh (SURVEY.md §7.2-6): the first axis shards
+    pixel-tile slots, the second the sample dimension (requires
+    n_samples | spp at render time). Factorizing the same devices differently
+    cannot change the image — the stateless RNG keys on global ray ids."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_tiles * n_samples
+    assert len(devices) >= n, (len(devices), n)
+    grid = np.asarray(devices[:n]).reshape(n_tiles, n_samples)
+    return Mesh(grid, tuple(axis_names))

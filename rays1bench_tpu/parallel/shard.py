@@ -50,15 +50,20 @@ def render_image_sharded(spheres_soa: SphereSOA, camera: Camera,
     def local(ids_local, spheres, camera):
         # ids_local: (1, num_chunks, chunk) block of this device's rays.
         def body(ray_id):
-            return _trace_chunk(spheres, camera, ray_id, ray_id < n, seed, cfg)
+            return _trace_chunk(spheres, camera, ray_id, ray_id < n, seed,
+                                cfg, remat=num_chunks > 1)
         rr, rg, rb, counts = jax.lax.map(body, ids_local[0])
         count = jax.lax.psum(jnp.sum(counts), axis_name)
         return rr[None], rg[None], rb[None], count
 
+    # check_vma=False: the gradient path's Pallas index kernel
+    # (cfg.pallas_intersect) has out_shapes without varying-mesh-axes
+    # metadata, which the vma checker rejects inside shard_map.
     rr, rg, rb, count = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis_name), P(), P()),
         out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        check_vma=False,
     )(ids, spheres, camera)
 
     rad = jnp.stack([rr.reshape(-1)[:n], rg.reshape(-1)[:n],
@@ -68,12 +73,18 @@ def render_image_sharded(spheres_soa: SphereSOA, camera: Camera,
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name", "tile_rays",
-                                   "unroll", "n_real", "interpret"))
+                                   "unroll", "cull", "chunk_size",
+                                   "wavefront", "sync_every", "n_real",
+                                   "sample_axis", "interpret"))
 def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                 cfg: RenderConfig, mesh: Mesh,
                                 axis_name: str = "rays",
                                 tile_rays: int = 2048, unroll: int = 0,
-                                n_real=None, interpret: bool = False
+                                cull: str = "sort_trim",
+                                chunk_size: int = 64,
+                                wavefront=None, sync_every: int = 0,
+                                n_real=None, sample_axis=None,
+                                interpret: bool = False
                                 ) -> Tuple[jax.Array, jax.Array]:
     """The production multi-chip path: the Pallas megakernel under shard_map.
 
@@ -83,54 +94,105 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     camera are replicated; each device runs trace_pallas on its slice; the
     ray counter is psum-reduced over ICI. Stateless RNG on global ray ids
     makes the image bit-identical to the single-device megakernel render.
+
+    Supports the full single-chip feature surface (kernels/pipeline.py
+    render_image_pallas): `cull` in {"sort_trim", "bounds", "none"},
+    `wavefront` phase schedules with inter-phase row compaction (local to
+    each device's slice — compaction is a per-device permutation, so no
+    cross-device traffic), and `sync_every`.
+
+    sample_axis: optional second mesh axis sharding the sample dimension
+    (SURVEY.md §7.2-6's (tiles, samples) mesh): each device traces a
+    contiguous block of pixel rows x a contiguous slice of spp. Requires
+    mesh.shape[sample_axis] to divide cfg.spp. With samples innermost in
+    ray_id, every device still keys the stateless RNG on global ids, so any
+    mesh factorization renders the identical image.
     """
-    from rays1bench_tpu.kernels.megakernel import trace_pallas
+    from rays1bench_tpu.kernels.megakernel import (trace_pallas,
+                                                   trace_pallas_wavefront)
     from rays1bench_tpu.kernels.pipeline import (_tile_order, _tile_coords,
                                                  _slot_of_id, prepare_trimmed)
     from rays1bench_tpu.core import rng as rng_mod
+    import math
 
     spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll,
-                                              "sort_trim", 64, n_real)
-    assert bounds is None
+                                              cull, chunk_size, n_real)
     n = cfg.num_primary_rays
-    n_dev = mesh.shape[axis_name]
+    n_tiles = mesh.shape[axis_name]
+    n_samp = mesh.shape[sample_axis] if sample_axis else 1
+    assert cfg.spp % n_samp == 0, (cfg.spp, n_samp)
+    spp_loc = cfg.spp // n_samp
+
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
         cfg.width, cfg.height, cfg.spp, tile_rays)
     n_slots = len(ids_np)
-    per_dev = _round_up(-(-n_slots // n_dev), tile_rays)
+    # Rows (= pixel slots) per tile-axis device, padded so each device's
+    # local ray count (rows * spp_loc) is whole kernel tiles.
+    rows_total = n_slots // cfg.spp
+    row_granule = tile_rays // math.gcd(tile_rays, spp_loc)
+    rows_per_dev = _round_up(-(-rows_total // n_tiles), row_granule)
+    per_dev = rows_per_dev * spp_loc
     seed = jnp.uint32(cfg.seed)
+    if sync_every <= 0:
+        sync_every = 1 if spheres.count > 128 else 3
 
-    def local(spheres, camera):
-        slot0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * per_dev
-        slot = slot0 + jax.lax.iota(jnp.int32, per_dev)
+    use_cull = bounds is not None
+
+    def local(spheres, bounds, camera):
+        bounds = bounds if use_cull else None  # dummy zeros when cull is off
+        i = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        j = (jax.lax.axis_index(sample_axis).astype(jnp.int32)
+             if sample_axis else jnp.int32(0))
+        # local l -> global slot: row-major over this device's pixel rows,
+        # sample slice j*spp_loc..(j+1)*spp_loc innermost.
+        l = jax.lax.iota(jnp.int32, per_dev)
+        row = i * rows_per_dev + l // spp_loc
+        slot = row * cfg.spp + j * spp_loc + l % spp_loc
         ray_id, x, y = _tile_coords(cfg, (gy, gx, th, tw), slot=slot)
         ju, jv = rng_mod.pixel_jitter(seed, ray_id)
         s = (x + ju) * jnp.float32(1.0 / cfg.width)
         t = (y + jv) * jnp.float32(1.0 / cfg.height)
         ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
-        (rr, rg, rb), nr = trace_pallas(spheres, ox, oy, oz, dx, dy, dz,
-                                        ray_id, cfg, tile_rays=tile_rays,
-                                        unroll=unroll, n_rays=n,
-                                        interpret=interpret)
-        count = jax.lax.psum(nr, axis_name)
-        return rr[None], rg[None], rb[None], count
+        if wavefront is not None:
+            (rr, rg, rb), nr = trace_pallas_wavefront(
+                spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
+                tile_rays=tile_rays, unroll=unroll, bounds=bounds,
+                chunk_size=chunk_size, schedule=wavefront, n_rays=n,
+                interpret=interpret)
+        else:
+            (rr, rg, rb), nr = trace_pallas(
+                spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
+                tile_rays=tile_rays, unroll=unroll, bounds=bounds,
+                chunk_size=chunk_size, sync_every=sync_every, n_rays=n,
+                interpret=interpret)
+        axes = (axis_name, sample_axis) if sample_axis else axis_name
+        count = jax.lax.psum(nr, axes)
+        shape = (1, 1, per_dev) if sample_axis else (1, per_dev)
+        rs = lambda a: a.reshape(shape)
+        return rs(rr), rs(rg), rs(rb), count
 
     # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
     # metadata, which the vma checker (on by default) rejects inside
     # shard_map.
+    spec = P(axis_name, sample_axis) if sample_axis else P(axis_name)
     rr, rg, rb, count = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        in_specs=(P(), P(), P()),
+        out_specs=(spec, spec, spec, P()),
         check_vma=False,
-    )(spheres, camera)
+    )(spheres, bounds if use_cull else jnp.zeros((4, 1), jnp.float32),
+      camera)
 
     def unpermute(a):
-        a = a.reshape(-1)[:n_slots]
+        # (n_tiles, n_samp, rows_per_dev, spp_loc) -> (rows, spp), then the
+        # rows enumerate (gy, gx, th, tw) pixel slots as in _tile_order.
+        a = a.reshape(n_tiles, n_samp, rows_per_dev, spp_loc)
+        a = a.transpose(0, 2, 1, 3).reshape(-1, cfg.spp)[:rows_total]
         if inv_np is None:
             return a.reshape(gy, gx, th, tw, cfg.spp).transpose(
                 0, 2, 1, 3, 4).reshape(cfg.height, cfg.width, cfg.spp)
-        return jnp.take(a, _slot_of_id(cfg, (gy, gx, th, tw))).reshape(
+        return jnp.take(a.reshape(-1),
+                        _slot_of_id(cfg, (gy, gx, th, tw))).reshape(
             cfg.height, cfg.width, cfg.spp)
 
     rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
