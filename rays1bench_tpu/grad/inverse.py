@@ -39,6 +39,11 @@ class InverseConfig:
     # Which SphereSOA float columns are optimized; the rest stay fixed.
     optimize: Tuple[str, ...] = ("center_x", "center_y", "center_z",
                                  "radius", "albedo_x", "albedo_y", "albedo_z")
+    # Optional sphere-row mask: only these rows of the optimized columns
+    # receive updates (None = all rows). Weakly-observed rows (a glass
+    # sphere's depth, anything near a flat loss direction) otherwise walk
+    # along their gradient bias/noise under Adam's normalization.
+    rows: Optional[Tuple[int, ...]] = None
 
 
 def _grad_cfg(cfg: RenderConfig) -> RenderConfig:
@@ -93,11 +98,17 @@ def make_train_step(spheres_template: SphereSOA, camera: Camera,
     shard_map transpose's psum — the ICI analog of a gradient all-reduce
     (SURVEY.md §5, "distributed communication backend")."""
     optimizer = optax.adam(inv.learning_rate)
+    row_mask = None
+    if inv.rows is not None:
+        n_rows = spheres_template.radius.shape[0]
+        row_mask = jnp.zeros(n_rows).at[jnp.asarray(inv.rows)].set(1.0)
 
     @jax.jit
     def step(params, opt_state, target):
         loss, grads = jax.value_and_grad(image_loss)(
             params, spheres_template, camera, target, cfg, mesh)
+        if row_mask is not None:
+            grads = {k: g * row_mask for k, g in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
