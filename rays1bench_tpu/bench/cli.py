@@ -38,6 +38,10 @@ def main(argv=None):
                     help="time FRAMES frames inside one jit dispatch "
                          "(amortizes the remote runtime's per-dispatch "
                          "round trip; see bench.harness.benchmark_sustained)")
+    ap.add_argument("--profile", default="", metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the benchmark "
+                         "runs into LOGDIR (TensorBoard/Perfetto; "
+                         "utils/profiling.py)")
     args = ap.parse_args(argv)
 
     from rays1bench_tpu.bench.harness import (benchmark, benchmark_sustained,
@@ -71,24 +75,34 @@ def main(argv=None):
         ap.error("--num must be in 1..31")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    for name in scene_names:
-        scene = builders.SCENES[name](cfg.aspect)
-        tga_path = os.path.join(args.out_dir, f"out_{name}.tga") if args.save else None
-        if args.sustained:
-            res = benchmark_sustained(scene, cfg, frames=args.sustained,
-                                      num_runs=args.num, render_fn=render_fn)
-            results = [res]
-            if tga_path:  # the sustained path reads back only scalars
-                benchmark(scene, cfg, num_runs=1, write_tga=tga_path,
-                          render_fn=render_fn, warmup=False)
-        else:
-            results = benchmark(scene, cfg, num_runs=args.num,
-                                write_tga=tga_path, render_fn=render_fn)
-        rec = log_results(name, results, directory=args.out_dir)
-        r = results[-1]
-        print(f"{name}\nelapsed time:\t{r.elapsed_seconds:.3f}s\n"
-              f"total rays:\t{r.num_rays}\n"
-              f"mrays/s:\t{r.mrays_per_sec:.2f}\n", flush=True)
+    import contextlib
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        from rays1bench_tpu.utils import profiling
+        profile_cm = profiling.trace(args.profile)
+    with profile_cm:
+        for name in scene_names:
+            scene = builders.SCENES[name](cfg.aspect)
+            tga_path = os.path.join(args.out_dir, f"out_{name}.tga") \
+                if args.save else None
+            if args.sustained:
+                res = benchmark_sustained(scene, cfg, frames=args.sustained,
+                                          num_runs=args.num,
+                                          render_fn=render_fn)
+                results = [res]
+                if tga_path:  # the sustained path reads back only scalars
+                    benchmark(scene, cfg, num_runs=1, write_tga=tga_path,
+                              render_fn=render_fn, warmup=False)
+            else:
+                results = benchmark(scene, cfg, num_runs=args.num,
+                                    write_tga=tga_path, render_fn=render_fn)
+            rec = log_results(name, results, directory=args.out_dir)
+            r = results[-1]
+            print(f"{name}\nelapsed time:\t{r.elapsed_seconds:.3f}s\n"
+                  f"total rays:\t{r.num_rays}\n"
+                  f"mrays/s:\t{r.mrays_per_sec:.2f}\n", flush=True)
+    if args.profile:
+        print(f"profile trace written to {args.profile}", flush=True)
 
     if args.report:
         for name in scene_names:

@@ -53,3 +53,49 @@ def render_with_retry(render_shard: Callable[[np.ndarray], np.ndarray],
                     raise
                 retried += 1
     return np.concatenate(out, axis=0), retried
+
+
+def render_image_with_retry(spheres_soa, camera, cfg, num_shards: int = 4,
+                            max_retries: int = 2, _render_shard=None):
+    """Fault-tolerant full-image render: the ray stream is split into
+    `num_shards` equal slices, each rendered as its own dispatch through
+    render_with_retry and merged. Because the RNG is stateless in the global
+    ray id, a retried shard is bit-identical to a never-failed one, so the
+    assembled image equals render_image()'s exactly (pinned in
+    tests/test_aux.py).
+
+    `_render_shard` is a test hook wrapping the per-shard render (e.g. to
+    inject transient failures). Returns (image, num_rays, retried_shards).
+    """
+    import jax
+    import jax.numpy as jnp
+    from rays1bench_tpu.render.pipeline import _trace_chunk, _round_up
+    from rays1bench_tpu.scene.spheres import prepare
+
+    n = cfg.num_primary_rays
+    per = _round_up(-(-n // num_shards), 1024)
+    padded = per * num_shards
+    spheres = prepare(spheres_soa)
+    seed = jnp.uint32(cfg.seed)
+
+    @jax.jit
+    def shard_fn(ids):
+        rr, rg, rb, cnt = _trace_chunk(spheres, camera, ids, ids < n, seed,
+                                       cfg)
+        return jnp.stack([rr, rg, rb]), cnt
+
+    counts = {}  # shard's first ray id -> count (idempotent across retries)
+
+    def render_shard(ids):
+        fn = _render_shard(shard_fn) if _render_shard else shard_fn
+        rad, cnt = fn(jnp.asarray(ids))
+        rad = np.asarray(rad).T  # (per, 3); readback before recording count
+        counts[int(ids[0])] = np.uint64(np.uint32(cnt))
+        return rad
+
+    all_ids = np.arange(padded, dtype=np.int32).reshape(num_shards, per)
+    rad, retried = render_with_retry(render_shard, list(all_ids),
+                                     max_retries=max_retries)
+    num_rays = int(sum(counts.values()))
+    image = rad[:n].reshape(cfg.height, cfg.width, cfg.spp, 3).mean(axis=2)
+    return image, num_rays, retried

@@ -94,6 +94,60 @@ def test_render_with_retry_recovers():
     assert retried == 1
 
 
+def test_render_image_with_retry_recovers_bit_exactly(tmp_path):
+    """The WIRED fault-recovery path: a full image through
+    render_image_with_retry with injected transient shard failures is
+    BITWISE identical to the same sharded render with no failures (a
+    retried shard is indistinguishable from a never-failed one — stateless
+    RNG), counts exactly the rays of render_image(), and matches its image
+    to the same 1-ULP bound as any other chunk-split (XLA may fuse a
+    2048-wide chunk differently than a 5120-wide one)."""
+    from rays1bench_tpu.parallel.multihost import render_image_with_retry
+    from rays1bench_tpu.render.pipeline import render_image
+    from rays1bench_tpu.scene.builders import create_small_scene
+
+    cfg = RenderConfig(width=64, height=40, spp=2, max_bounces=6,
+                       ray_chunk=8192)
+    scene = create_small_scene(cfg.aspect)
+    camera = scene.camera.build()
+    ref, n_ref = render_image(scene.spheres, camera, cfg)
+    clean, n_clean, r0 = render_image_with_retry(scene.spheres, camera, cfg,
+                                                 num_shards=4)
+    assert r0 == 0
+
+    fails = {"left": 2}
+
+    def inject(fn):
+        def wrapped(ids):
+            if fails["left"] > 0:
+                fails["left"] -= 1
+                raise RuntimeError("simulated device failure")
+            return fn(ids)
+        return wrapped
+
+    img, n, retried = render_image_with_retry(scene.spheres, camera, cfg,
+                                              num_shards=4,
+                                              _render_shard=inject)
+    assert retried == 2 and fails["left"] == 0
+    assert int(n) == int(n_ref) == int(n_clean)
+    assert (np.asarray(img) == np.asarray(clean)).all()
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
+
+
+def test_profiling_trace_produces_artifact(tmp_path):
+    """profiling.trace actually captures a profile: the logdir gains a
+    plugins/profile/<ts>/*.xplane.pb artifact (the TensorBoard/Perfetto
+    input — the VTune-analog evidence SURVEY.md §5 asks for)."""
+    import glob
+    logdir = str(tmp_path / "trace")
+    with profiling.trace(logdir):
+        with profiling.annotate("test-span"):
+            jax.block_until_ready(jnp.arange(128.0) * 2.0)
+    found = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert found, f"no xplane.pb under {logdir}"
+
+
 def test_profiling_hooks_smoke(tmp_path):
     with profiling.annotate("test-span"):
         pass
