@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--max-bounces", type=int, default=10)
     ap.add_argument("--quick", action="store_true", help="80x60 smoke config")
     ap.add_argument("--save", action="store_true", help="write out_<scene>.tga")
+    ap.add_argument("--engine", default="oneshot",
+                    choices=["oneshot", "respawn"],
+                    help="megakernel scheduling: one-shot tile early-exit or "
+                         "persistent-lane sample respawn")
     args = ap.parse_args()
 
     import jax
@@ -62,10 +66,12 @@ def main():
     camera = scene.camera.build()
 
     # The wavefront=(4,7) row-compacted variant measures within noise of the
-    # one-shot kernel on the large scene (~113 ms/frame either way); the
-    # headline keeps the simpler one-shot path.
+    # one-shot kernel on the large scene (~113 ms/frame either way). The
+    # respawn engine retires rays per-lane (megakernel._respawn_kernel) and
+    # is the winner at deep bounce budgets / high spp.
+    respawn = args.engine == "respawn"
     render_image_ = lambda sph, cam_, cfg_: render_image(
-        sph, cam_, cfg_, n_real=scene.n_real)
+        sph, cam_, cfg_, n_real=scene.n_real, respawn=respawn)
 
     # Warmup (compile).
     img, num_rays = render_image_(scene.spheres, camera, cfg)

@@ -29,8 +29,14 @@ def main(argv=None):
     ap.add_argument("--max-bounces", type=int, default=None)
     ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"],
                     help="megakernel (default) or pure-XLA pipeline")
+    ap.add_argument("--respawn", action="store_true",
+                    help="persistent-lane sample-respawn megakernel "
+                         "scheduling (pallas engine only)")
     ap.add_argument("--sharded", type=int, default=0, metavar="NDEV",
-                    help="render sharded over NDEV devices (XLA engine)")
+                    help="render sharded over NDEV devices; with the default "
+                         "pallas engine this drives the production "
+                         "multi-chip path (parallel.shard."
+                         "render_image_pallas_sharded)")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--report", action="store_true",
                     help="print the markdown results table afterwards")
@@ -56,15 +62,33 @@ def main(argv=None):
     if args.max_bounces is not None:
         cfg = cfg.replace(max_bounces=args.max_bounces)
 
-    render_fn = None
-    if args.engine == "xla":
-        from rays1bench_tpu.render.pipeline import render_image
-        render_fn = render_image
-    if args.sharded:
-        from rays1bench_tpu.parallel.mesh import make_mesh
-        from rays1bench_tpu.parallel.shard import render_image_sharded
-        mesh = make_mesh(args.sharded)
-        render_fn = lambda s, c, cf, _m=mesh: render_image_sharded(s, c, cf, _m)
+    def make_render_fn(scene):
+        """Resolve the engine x sharding matrix to a (spheres, camera, cfg)
+        -> (image, num_rays) callable. None = harness default (single-chip
+        megakernel with the scene's real-sphere trim)."""
+        if args.sharded:
+            from rays1bench_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(args.sharded)
+            if args.engine == "pallas":
+                # The production multi-chip path (parallel/shard.py).
+                from rays1bench_tpu.parallel.shard import \
+                    render_image_pallas_sharded
+                n_real = getattr(scene, "n_real", None) or None
+                return (lambda s, c, cf, _m=mesh, _nr=n_real:
+                        render_image_pallas_sharded(s, c, cf, _m, n_real=_nr,
+                                                    respawn=args.respawn))
+            from rays1bench_tpu.parallel.shard import render_image_sharded
+            return (lambda s, c, cf, _m=mesh:
+                    render_image_sharded(s, c, cf, _m))
+        if args.engine == "xla":
+            from rays1bench_tpu.render.pipeline import render_image
+            return render_image
+        if args.respawn:
+            from rays1bench_tpu.kernels.pipeline import render_image_pallas
+            n_real = getattr(scene, "n_real", None) or None
+            return (lambda s, c, cf, _nr=n_real:
+                    render_image_pallas(s, c, cf, n_real=_nr, respawn=True))
+        return None
 
     scene_names = [s.strip() for s in args.scenes.split(",") if s.strip()]
     unknown = [s for s in scene_names if s not in builders.SCENES]
@@ -83,6 +107,7 @@ def main(argv=None):
     with profile_cm:
         for name in scene_names:
             scene = builders.SCENES[name](cfg.aspect)
+            render_fn = make_render_fn(scene)
             tga_path = os.path.join(args.out_dir, f"out_{name}.tga") \
                 if args.save else None
             if args.sustained:

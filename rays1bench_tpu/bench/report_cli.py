@@ -37,10 +37,70 @@ REFERENCE_PUBLISHED = {
 }
 
 
+# The reference's published FULL-workload best (step13 MT, 250 spp @ 50
+# bounces — the same rows as above's step13 entries, kept separate so the
+# full-workload tables lead with the apples-to-apples comparison).
+REFERENCE_FULL = {
+    "large": [report.Record("ref step13 (i9 9900K, 16 threads)", 10.628,
+                            630_931_100, 59.362)],
+    "medium": [report.Record("ref step13 (i9 9900K, 16 threads)", 2.679,
+                             577_132_771, 215.403)],
+    "small": [report.Record("ref step13 (i9 9900K, 16 threads)", 1.289,
+                            414_187_797, 321.238)],
+}
+
+# Scene labels for the README headline table (sphere counts are part of the
+# scene definition, scene/builders.py).
+SCENE_LABELS = {"large": "large (484 spheres)", "medium": "medium (46 spheres)",
+                "small": "small (5 spheres)"}
+
+
 def scene_table(dirs, scene, include_reference=True) -> str:
     recs = list(REFERENCE_PUBLISHED.get(scene, [])) if include_reference else []
     recs += report.collect(dirs, scene)
     return report.markdown_table(recs) if recs else ""
+
+
+def full_table(dirs, scene, include_reference=True) -> str:
+    """Full-workload (250 spp @ 50 bounces) table: the reference's own
+    published step13 row first, then this-box reference + TPU records."""
+    recs = list(REFERENCE_FULL.get(scene, [])) if include_reference else []
+    recs += report.collect(dirs, scene)
+    return report.markdown_table(recs) if recs else ""
+
+
+def headline_table(dirs, scenes) -> str:
+    """README summary: our records (last row per scene) vs the reference's
+    published best, one row per scene."""
+    lines = ["| Scene | This framework (1× v5e) | Reference best "
+             "(i9 9900K, 16 threads) | Ratio |", "|---|---|---|---|"]
+    for scene in scenes:
+        ours = report.collect(dirs, scene)
+        ref = REFERENCE_FULL[scene][0]
+        if not ours:
+            continue
+        r = ours[-1]
+        lines.append(f"| {SCENE_LABELS.get(scene, scene)} | "
+                     f"**{r.mrays:.1f} mrays/s** | {ref.mrays:.1f} | "
+                     f"{r.mrays / ref.mrays:.2f}× |")
+    return "\n".join(lines)
+
+
+def grad_table(path) -> str:
+    """Gradient-step records (records/grad/steps.txt,
+    `label|s_per_step|steps_per_sec|` one per line) -> markdown."""
+    import os
+    if not os.path.exists(path):
+        return ""
+    lines = ["| workload | s/step | steps/s |", "|---|---|---|"]
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 3 or not parts[0]:
+                continue
+            lines.append(f"| {parts[0]} | {float(parts[1].rstrip('s')):.4f} s"
+                         f" | **{float(parts[2]):.1f}** |")
+    return "\n".join(lines)
 
 
 def generate(dirs, scenes, include_reference=True) -> str:
@@ -56,14 +116,34 @@ def generate(dirs, scenes, include_reference=True) -> str:
     return "\n".join(lines)
 
 
-def generate_from_template(template_path, out_path, dirs, scenes,
-                           include_reference=True) -> str:
-    """Regenerate a results file from a template with __RESULTS_<SCENE>__
-    placeholders — the reference's README regeneration flow
-    (update_readme.py:49-69), applied to RESULTS.md."""
+def build_subs(dirs, scenes, include_reference=True,
+               full_dirs=("records/full_ref_box", "records/full"),
+               grad_path="records/grad/steps.txt") -> dict:
+    """All template placeholders, from records only (no hand data):
+    __RESULTS_<SCENE>__ (headline workload), __RESULTS_FULL_<SCENE>__
+    (250 spp @ 50 bounces), __RESULTS_GRAD__, __RESULTS_HEADLINE__ (README
+    summary table)."""
     subs = {f"__RESULTS_{s.upper()}__": scene_table(dirs, s,
                                                     include_reference)
             for s in scenes}
+    for s in scenes:
+        subs[f"__RESULTS_FULL_{s.upper()}__"] = full_table(
+            list(full_dirs), s, include_reference)
+    subs["__RESULTS_GRAD__"] = grad_table(grad_path)
+    subs["__RESULTS_HEADLINE__"] = headline_table(dirs, scenes)
+    # Same summary shape at the reference's own full workload; only OUR
+    # records (last dir) — the ref rows are the ratio denominator already.
+    subs["__RESULTS_HEADLINE_FULL__"] = headline_table(list(full_dirs)[-1:],
+                                                       scenes)
+    return subs
+
+
+def generate_from_template(template_path, out_path, dirs, scenes,
+                           include_reference=True, **kw) -> str:
+    """Regenerate a results file from a template with __RESULTS_*__
+    placeholders — the reference's README regeneration flow
+    (update_readme.py:49-69), applied to RESULTS.md and README.md."""
+    subs = build_subs(dirs, scenes, include_reference, **kw)
     report.render_template(template_path, out_path, subs)
     with open(out_path) as f:
         return f.read()
@@ -81,6 +161,11 @@ def main(argv=None):
                          "placeholders; plain table mode if absent")
     ap.add_argument("--no-reference", action="store_true",
                     help="omit the published reference rows")
+    ap.add_argument("--readme-template", default="README_template.md",
+                    help="when present, README.md is regenerated from it "
+                         "too (same placeholder substitution) — the "
+                         "reference's update_readme.py flow")
+    ap.add_argument("--readme-out", default="README.md")
     args = ap.parse_args(argv)
     dirs = args.dirs.split(",")
     scenes = args.scenes.split(",")
@@ -93,6 +178,11 @@ def main(argv=None):
         with open(args.out, "w") as f:
             f.write(text)
     print(text)
+    if os.path.exists(args.readme_template):
+        generate_from_template(args.readme_template, args.readme_out, dirs,
+                               scenes,
+                               include_reference=not args.no_reference)
+        print(f"(regenerated {args.readme_out} from {args.readme_template})")
 
 
 if __name__ == "__main__":

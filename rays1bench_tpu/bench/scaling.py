@@ -8,8 +8,10 @@ only cross-device traffic is the psum'd ray counter — so measured efficiency
 on real hardware is limited by per-chip underutilization at small shards, not
 communication (SURVEY.md §7.3).
 
-Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-           python -m rays1bench_tpu.bench.scaling --scene medium --spp 4
+Usage (virtual 8-device CPU mesh; the pallas engine needs --interpret there):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m rays1bench_tpu.bench.scaling --scene medium --spp 4 \
+        --cpu --interpret [--engine xla]
 """
 
 from __future__ import annotations
@@ -24,19 +26,30 @@ from rays1bench_tpu.utils.metrics import ScalingPoint, scaling_efficiency
 
 
 def sweep(scene_name: str, cfg, device_counts: List[int],
-          runs: int = 2) -> List[ScalingPoint]:
+          runs: int = 2, engine: str = "pallas",
+          interpret: bool = False) -> List[ScalingPoint]:
     # Imported here: pulling in the scene/renderer modules initializes the
     # JAX backend (pytree registration touches it), which must happen AFTER
     # any jax_platforms override in main().
     from rays1bench_tpu.parallel.mesh import make_mesh
-    from rays1bench_tpu.parallel.shard import render_image_sharded
+    from rays1bench_tpu.parallel.shard import (render_image_pallas_sharded,
+                                               render_image_sharded)
     from rays1bench_tpu.scene import builders
     scene = builders.SCENES[scene_name](cfg.aspect)
     camera = scene.camera.build()
+    if engine == "pallas":
+        # The production multi-chip path: megakernel under shard_map.
+        n_real = getattr(scene, "n_real", None) or None
+        render = (lambda sph, cam, cf, mesh:
+                  render_image_pallas_sharded(sph, cam, cf, mesh,
+                                              n_real=n_real,
+                                              interpret=interpret))
+    else:
+        render = render_image_sharded
     points = []
     for nd in device_counts:
         mesh = make_mesh(nd)
-        img, num = render_image_sharded(scene.spheres, camera, cfg, mesh)
+        img, num = render(scene.spheres, camera, cfg, mesh)
         float(img.sum())  # compile + sync
         best = float("inf")
         for i in range(runs):
@@ -44,7 +57,7 @@ def sweep(scene_name: str, cfg, device_counts: List[int],
             sph = dataclasses.replace(
                 scene.spheres, center_x=scene.spheres.center_x + (i + 1) * 1e-7)
             t0 = time.perf_counter()
-            img, num = render_image_sharded(sph, camera, cfg, mesh)
+            img, num = render(sph, camera, cfg, mesh)
             float(img.sum())
             best = min(best, time.perf_counter() - t0)
         points.append(ScalingPoint(nd, int(num), best))
@@ -60,6 +73,12 @@ def main(argv=None):
     ap.add_argument("--max-bounces", type=int, default=10)
     ap.add_argument("--devices", default="")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"],
+                    help="pallas = production megakernel-under-shard_map "
+                         "path; xla = pure-XLA sharded pipeline")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run the Pallas engine in interpreter mode "
+                         "(required on the CPU backend)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the env pins the TPU plugin; "
                          "combine with XLA_FLAGS=--xla_force_host_platform_"
@@ -77,7 +96,8 @@ def main(argv=None):
     from rays1bench_tpu.core.config import RenderConfig
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_bounces=args.max_bounces, ray_chunk=16384)
-    points = sweep(args.scene, cfg, counts, runs=args.runs)
+    points = sweep(args.scene, cfg, counts, runs=args.runs,
+                   engine=args.engine, interpret=args.interpret)
     effs = scaling_efficiency(points)
     print(f"{'devices':>8} {'mrays/s':>10} {'efficiency':>10}")
     for p, e in zip(points, effs):

@@ -22,18 +22,18 @@ def fd_check(f: Callable, params: Dict, coords: Sequence[Tuple[str, int]],
     Returns list of (name, idx, analytic, numeric, abs_err, rel_err).
     """
     g = jax.grad(f)(params)
+
+    def eval_at(name, idx, delta):
+        pert = np.asarray(params[name]).copy()
+        pert.flat[idx] += delta
+        p = dict(params)
+        p[name] = jax.numpy.asarray(pert)
+        return float(f(p))
+
     rows = []
     for name, idx in coords:
-        base = np.asarray(params[name]).copy()
-        for sgn in (+1, -1):
-            pert = base.copy()
-            pert.flat[idx] += sgn * eps
-            p = dict(params)
-            p[name] = jax.numpy.asarray(pert)
-            if sgn > 0:
-                fp = float(f(p))
-            else:
-                fm = float(f(p))
+        fp = eval_at(name, idx, +eps)
+        fm = eval_at(name, idx, -eps)
         numeric = (fp - fm) / (2 * eps)
         analytic = float(np.asarray(g[name]).flat[idx])
         abs_err = abs(analytic - numeric)

@@ -41,7 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rays1bench_tpu.core import rng as rng_mod
 from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.render.camera import Camera
 from rays1bench_tpu.render.intersect import HitRecord
 from rays1bench_tpu.render.materials import scatter
 from rays1bench_tpu.render.integrator import sky_color
@@ -81,16 +83,41 @@ def _pack_spheres(prep: PreparedSpheres) -> jax.Array:
     ])
 
 
-def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
-                 max_bounces: int, t_min: float, seed: int, sub: int,
-                 unroll: int, chunk_size: int, use_cull: bool, best_ref):
-    """Build the per-bounce wavefront update closure over the sphere SMEM refs.
+def _pack_camera(camera) -> jax.Array:
+    """Flatten the Camera pytree into one (1, 19) f32 row for SMEM staging:
+    origin(3), lower_left(3), horizontal(3), vertical(3), u(3), v(3),
+    lens_radius(1). Consumed by _cam_from_smem."""
+    return jnp.concatenate([
+        camera.origin, camera.lower_left, camera.horizontal, camera.vertical,
+        camera.u, camera.v, camera.lens_radius.reshape(1),
+    ]).reshape(1, 19)
 
-    Shared by the one-shot megakernel (_kernel) and the resumable phase kernel
-    (_phase_kernel). `best_ref` is the VMEM scratch holding the running
-    closest-hit payload (Mosaic's scf.if cannot yield vectors)."""
+
+def _cam_from_smem(cam_smem):
+    """Rebuild a Camera-shaped view over SMEM scalars. generate_rays only
+    indexes its fields with [i], so tuples of SMEM scalar reads duck-type the
+    Camera dataclass exactly — the raygen math traced into the kernel is the
+    very same jnp code the XLA pipeline runs (render/camera.py:71-90)."""
+    import types
+    g = lambda i: cam_smem[0, i]
+    return types.SimpleNamespace(
+        origin=(g(0), g(1), g(2)), lower_left=(g(3), g(4), g(5)),
+        horizontal=(g(6), g(7), g(8)), vertical=(g(9), g(10), g(11)),
+        u=(g(12), g(13), g(14)), v=(g(15), g(16), g(17)),
+        lens_radius=g(18))
+
+
+def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
+                    t_min: float, sub: int, unroll: int, chunk_size: int,
+                    use_cull: bool, best_ref):
+    """Build the closest-hit sweep closure over the sphere SMEM refs.
+
+    Shared by every megakernel variant (_kernel, _phase_kernel,
+    _respawn_kernel). Returns isect(ox..dz) -> (best_t, cx, cy, cz, inv_r,
+    albedo_packed, mat_packed). `best_ref` is the VMEM scratch holding the
+    running closest-hit payload for the culled variant (Mosaic's scf.if
+    cannot yield vectors)."""
     zero = jnp.zeros((sub, LANES), jnp.float32)
-    seed_c = np.uint32(seed)
     tmin_c = np.float32(t_min)
 
     def make_sphere_step(ox, oy, oz, dx, dy, dz):
@@ -200,30 +227,59 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
         return tuple(best_ref[i] for i in range(7))
 
+    return intersect_culled if use_cull else intersect
+
+
+def _closest_hit_record(best, ox, oy, oz, dx, dy, dz):
+    """Unpack the running-min sweep's packed payload into a HitRecord
+    (amortized: once per bounce, not per sphere). `best` is the isect()
+    result tuple (best_t, cx, cy, cz, inv_r, albedo_packed, mat_packed)."""
+    (bt, cx, cy, cz, ivr, albp, mtp) = best
+    hit = bt < _BIG
+    t = jnp.where(hit, bt, 1.0)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    nx = (px - cx) * ivr
+    ny = (py - cy) * ivr
+    nz = (pz - cz) * ivr
+
+    mt_f = jnp.floor(mtp * (1.0 / 32.0))
+    mt_i = mt_f.astype(jnp.int32)
+    mparam = mtp - mt_f * 32.0
+    a_r = jnp.floor(albp * (1.0 / 65536.0))
+    rem = albp - a_r * 65536.0
+    a_g = jnp.floor(rem * (1.0 / 256.0))
+    a_b = rem - a_g * 256.0
+    inv255 = np.float32(1.0 / 255.0)
+
+    rec = HitRecord(hit=hit, t=t, px=px, py=py, pz=pz,
+                    nx=nx, ny=ny, nz=nz, mat_type=mt_i,
+                    albedo_x=a_r * inv255, albedo_y=a_g * inv255,
+                    albedo_z=a_b * inv255,
+                    fuzz=mparam, ref_idx=jnp.where(mt_i == 2, mparam, 1.0))
+    return hit, px, py, pz, rec
+
+
+def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
+                 max_bounces: int, t_min: float, seed: int, sub: int,
+                 unroll: int, chunk_size: int, use_cull: bool, best_ref):
+    """Build the per-bounce wavefront update closure over the sphere SMEM refs.
+
+    Shared by the one-shot megakernel (_kernel) and the resumable phase kernel
+    (_phase_kernel)."""
+    seed_c = np.uint32(seed)
+    isect = _make_intersect(spheres_smem, bounds_smem,
+                            num_spheres=num_spheres, t_min=t_min, sub=sub,
+                            unroll=unroll, chunk_size=chunk_size,
+                            use_cull=use_cull, best_ref=best_ref)
+
     def bounce(state):
         (b, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive, cnt) = state
         cnt = cnt + alive.astype(jnp.int32)
 
-        isect = intersect_culled if use_cull else intersect
-        (bt, cx, cy, cz, ivr, albp, mtp) = isect(ox, oy, oz, dx, dy, dz)
-        hit = bt < _BIG
-        t = jnp.where(hit, bt, 1.0)
-        px = ox + t * dx
-        py = oy + t * dy
-        pz = oz + t * dz
-        nx = (px - cx) * ivr
-        ny = (py - cy) * ivr
-        nz = (pz - cz) * ivr
-
-        # Unpack payloads (amortized: once per bounce, not per sphere).
-        mt_f = jnp.floor(mtp * (1.0 / 32.0))
-        mt_i = mt_f.astype(jnp.int32)
-        mparam = mtp - mt_f * 32.0
-        a_r = jnp.floor(albp * (1.0 / 65536.0))
-        rem = albp - a_r * 65536.0
-        a_g = jnp.floor(rem * (1.0 / 256.0))
-        a_b = rem - a_g * 256.0
-        inv255 = np.float32(1.0 / 255.0)
+        hit, px, py, pz, rec = _closest_hit_record(
+            isect(ox, oy, oz, dx, dy, dz), ox, oy, oz, dx, dy, dz)
 
         # Miss -> sky accumulation (rayweek1.cpp:530-534).
         skr, skg, skb = sky_color(dx, dy, dz)
@@ -232,11 +288,6 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
         rg = rg + jnp.where(miss, ag * skg, 0.0)
         rb = rb + jnp.where(miss, ab * skb, 0.0)
 
-        rec = HitRecord(hit=hit, t=t, px=px, py=py, pz=pz,
-                        nx=nx, ny=ny, nz=nz, mat_type=mt_i,
-                        albedo_x=a_r * inv255, albedo_y=a_g * inv255,
-                        albedo_z=a_b * inv255,
-                        fuzz=mparam, ref_idx=jnp.where(mt_i == 2, mparam, 1.0))
         (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed_c,
                                                  ray_id, b)
         cont = alive & hit & ok & (b < max_bounces)
@@ -324,6 +375,162 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         rb_ref[...] = final[12]
 
     pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32),
+                  pltpu.VMEM((7, sub, LANES), jnp.float32))
+
+
+def _respawn_kernel(sspan_smem, spheres_smem, cam_smem, bounds_smem, pid_ref,
+                    x_ref, y_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *refs,
+                    num_spheres: int, spp: int, width: int, height: int,
+                    num_pixels: int, max_bounces: int, t_min: float,
+                    seed: int, sub: int, unroll: int, chunk_size: int,
+                    use_cull: bool, sync_every: int, debug_iters: bool):
+    """Persistent-lane megakernel: LANE = PIXEL, sample respawn in-register.
+
+    The one-shot kernel's whole-tile early exit leaves 2.4-3.3x dead-lane
+    waste at deep bounce budgets: a tile sweeps all 2048 lanes until its
+    SLOWEST ray dies (up to max_bounces), because TPU vectors cannot retire
+    lanes individually — the reference's recursion, by contrast, returns each
+    ray the instant it dies (rayweek1.cpp:515-536). This kernel gets the same
+    per-ray retirement a different way: each lane owns ONE pixel and traces
+    that pixel's spp samples SERIALLY; the moment a lane's current path ends
+    (sky miss / absorb / bounce cap) it regenerates the next sample's primary
+    ray in-register — the stateless RNG and thin-lens camera make raygen pure
+    per-lane arithmetic, so respawn needs no queue, no compaction, no memory
+    traffic. Lanes desynchronize freely (each carries its own per-lane bounce
+    counter for the RNG lattice); a tile exits when every lane has exhausted
+    its spp samples, so per-tile waste is bounded by the spread of per-PIXEL
+    total work (spp paths, self-averaging) instead of per-RAY depth.
+
+    Radiance lands directly in per-pixel accumulators (the sample sums the
+    image needs anyway), which is what makes desynchronized retirement
+    possible at all: sums are order-free, so no per-sample output slot — and
+    no scatter — is ever needed. Per-ray math (intersection, scatter, RNG
+    draws) is bit-identical to the one-shot kernel; only the order the sample
+    sums are added in differs (tested within float tolerance of the XLA
+    pipeline, with EXACT ray counts).
+
+    sspan_smem (1, 2) int32 holds [s_lo, s_hi): the sample slice each lane
+    traces ([0, spp) single-chip; a sample-sharded device passes its slice —
+    ray ids stay global, so any mesh factorization draws identical rays).
+    """
+    iters_ref = refs[0] if debug_iters else None
+    s_lo = sspan_smem[0, 0]
+    s_hi = sspan_smem[0, 1]
+    pid = pid_ref[...]
+    xf = x_ref[...]
+    yf = y_ref[...]
+    zero = jnp.zeros((sub, LANES), jnp.float32)
+    one = zero + 1.0
+    izero = jnp.zeros((sub, LANES), jnp.int32)
+    seed_c = np.uint32(seed)
+    spp_c = np.int32(spp)
+    cam = _cam_from_smem(cam_smem)
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+    lane_valid = pid < num_pixels
+
+    def make_ray(rid):
+        # Identical jnp code to the XLA pipeline's raygen
+        # (kernels/pipeline.py raygen + render/camera.py:71-90), traced into
+        # the kernel; keyed on the true ray id, so a respawned sample draws
+        # exactly the rays the one-shot kernel was fed for that id.
+        ju, jv = rng_mod.pixel_jitter(seed_c, rid)
+        s = (xf + ju) * inv_w
+        t = (yf + jv) * inv_h
+        return Camera.generate_rays(cam, s, t, seed_c, rid)
+
+    def run(st_ref, si_ref, best_ref):
+        isect = _make_intersect(spheres_smem, bounds_smem,
+                                num_spheres=num_spheres, t_min=t_min,
+                                sub=sub, unroll=unroll,
+                                chunk_size=chunk_size, use_cull=use_cull,
+                                best_ref=best_ref)
+
+        def step(state):
+            (ox, oy, oz, dx, dy, dz, ar, ag, ab, alive, s_idx, b) = state
+            cnt_ref[...] = cnt_ref[...] + alive.astype(jnp.int32)
+            rid = pid * spp_c + s_idx
+
+            hit, px, py, pz, rec = _closest_hit_record(
+                isect(ox, oy, oz, dx, dy, dz), ox, oy, oz, dx, dy, dz)
+
+            # Miss -> sky, straight into the pixel accumulator.
+            skr, skg, skb = sky_color(dx, dy, dz)
+            miss = alive & ~hit
+            rr_ref[...] = rr_ref[...] + jnp.where(miss, ar * skr, 0.0)
+            rg_ref[...] = rg_ref[...] + jnp.where(miss, ag * skg, 0.0)
+            rb_ref[...] = rb_ref[...] + jnp.where(miss, ab * skb, 0.0)
+
+            (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec,
+                                                     seed_c, rid, b)
+            cont = alive & hit & ok & (b < max_bounces)
+            ox = jnp.where(cont, px, ox)
+            oy = jnp.where(cont, py, oy)
+            oz = jnp.where(cont, pz, oz)
+            dx = jnp.where(cont, sx, dx)
+            dy = jnp.where(cont, sy, dy)
+            dz = jnp.where(cont, sz, dz)
+            ar = jnp.where(cont, ar * mr, ar)
+            ag = jnp.where(cont, ag * mg, ag)
+            ab = jnp.where(cont, ab * mb, ab)
+            b = jnp.where(cont, b + 1, b)
+
+            # Respawn: a lane whose path just ended starts its next sample.
+            ended = alive & ~cont
+            resp = ended & (s_idx < s_hi - 1)
+            s_idx = jnp.where(resp, s_idx + 1, s_idx)
+            nox, noy, noz, ndx, ndy, ndz = make_ray(pid * spp_c + s_idx)
+            ox = jnp.where(resp, nox, ox)
+            oy = jnp.where(resp, noy, oy)
+            oz = jnp.where(resp, noz, oz)
+            dx = jnp.where(resp, ndx, dx)
+            dy = jnp.where(resp, ndy, dy)
+            dz = jnp.where(resp, ndz, dz)
+            ar = jnp.where(resp, one, ar)
+            ag = jnp.where(resp, one, ag)
+            ab = jnp.where(resp, one, ab)
+            b = jnp.where(resp, 0, b)
+            alive = cont | resp
+            return (ox, oy, oz, dx, dy, dz, ar, ag, ab, alive, s_idx, b)
+
+        # Init: every valid lane starts on its pixel's first slice sample.
+        ox, oy, oz, dx, dy, dz = make_ray(pid * spp_c + s_lo)
+        for i, v in enumerate((ox, oy, oz, dx, dy, dz, one, one, one)):
+            st_ref[i] = v
+        st_ref[9] = (lane_valid & (s_lo < s_hi)).astype(jnp.float32)
+        si_ref[0] = izero + s_lo
+        si_ref[1] = izero
+        rr_ref[...] = zero
+        rg_ref[...] = zero
+        rb_ref[...] = zero
+        cnt_ref[...] = izero
+
+        def body(carry):
+            it, _ = carry
+            state = tuple(st_ref[i] for i in range(9)) + \
+                (st_ref[9] > 0.0, si_ref[0], si_ref[1])
+            # As in _kernel, `sync_every` steps per early-exit check; an
+            # overshoot step is idempotent once every lane is dead (no count,
+            # no radiance, no respawn).
+            for _ in range(sync_every):
+                state = step(state)
+            for i, v in enumerate(state[:9]):
+                st_ref[i] = v
+            st_ref[9] = state[9].astype(jnp.float32)
+            si_ref[0] = state[10]
+            si_ref[1] = state[11]
+            alive_any = jnp.max(jnp.where(state[9], 1, 0))
+            return (it + sync_every, alive_any)
+
+        max_iters = spp * (max_bounces + 1)
+        fin = jax.lax.while_loop(
+            lambda c: (c[0] < max_iters) & (c[1] > 0), body,
+            (jnp.int32(0), jnp.int32(1)))
+        if debug_iters:
+            iters_ref[...] = jnp.full((sub, LANES), 1, jnp.int32) * fin[0]
+
+    pl.run_scoped(run, pltpu.VMEM((10, sub, LANES), jnp.float32),
+                  pltpu.VMEM((2, sub, LANES), jnp.int32),
                   pltpu.VMEM((7, sub, LANES), jnp.float32))
 
 
@@ -480,6 +687,107 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     if debug_iters:
         # (per-tile while iterations, per-ray live-bounce count in slot order)
         return res + (outs[4].reshape(num_tiles, tile_rays)[:, 0],
+                      cnt.reshape(n))
+    return res
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_lanes", "unroll",
+                                    "chunk_size", "sync_every", "interpret",
+                                    "debug_iters", "num_pixels"))
+def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
+                         cfg: RenderConfig, tile_lanes: int = 2048,
+                         unroll: int = 4, bounds=None, chunk_size: int = 32,
+                         sync_every: int = 1, interpret: bool = False,
+                         debug_iters: bool = False, num_pixels: int = 0,
+                         sample_span=None
+                         ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Trace ALL cfg.spp samples of N pixels with the persistent-lane
+    sample-respawn megakernel (see _respawn_kernel).
+
+    pid: int32[N] pixel ids (y * width + x); lanes with pid >= num_pixels are
+    padding (never alive, never counted). x, y: float32[N] pixel coordinates
+    (precomputed — Mosaic integer div/mod stays off the hot path). N must be
+    a multiple of tile_lanes. num_pixels defaults to min(N, cfg.num_pixels);
+    sharded callers pass the global pixel count. sample_span: optional
+    (1, 2) int32 [s_lo, s_hi) restricting each pixel to a sample slice
+    (sample-sharded meshes); default all of [0, cfg.spp).
+
+    Returns ((rr, rg, rb) f32[N] per-pixel SAMPLE SUMS over the span —
+    divide by cfg.spp for the full-span mean — and the uint32 ray count).
+    Per-ray math matches trace_pallas bit-for-bit; the pixel sums differ from
+    summing trace_pallas's per-ray output only in float addition order.
+    """
+    n = pid.shape[0]
+    assert n % tile_lanes == 0, (n, tile_lanes)
+    assert cfg.spp >= 1
+    sub = tile_lanes // LANES
+    num_tiles = n // tile_lanes
+    npix = num_pixels if num_pixels > 0 else min(n, cfg.num_pixels)
+
+    packed = _pack_spheres(spheres)
+    camp = _pack_camera(camera)
+    use_cull = bounds is not None
+    if not use_cull:
+        bounds = jnp.zeros((4, 1), jnp.float32)
+    if sample_span is None:
+        sample_span = jnp.asarray([[0, cfg.spp]], jnp.int32)
+    shape2 = (num_tiles * sub, LANES)
+    as2d = lambda a: a.reshape(shape2)
+
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _respawn_kernel,
+        num_spheres=spheres.count,
+        spp=cfg.spp,
+        width=cfg.width,
+        height=cfg.height,
+        num_pixels=npix,
+        max_bounces=cfg.max_bounces,
+        t_min=cfg.t_min,
+        seed=cfg.seed,
+        sub=sub,
+        unroll=unroll,
+        chunk_size=chunk_size,
+        use_cull=use_cull,
+        sync_every=sync_every,
+        debug_iters=debug_iters,
+    )
+    out_specs = [ray_spec, ray_spec, ray_spec, ray_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+    ]
+    if debug_iters:
+        out_specs.append(ray_spec)
+        out_shape.append(jax.ShapeDtypeStruct(shape2, jnp.int32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(camp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(sample_span, packed, camp, bounds, as2d(pid), as2d(x), as2d(y))
+    rr, rg, rb, cnt = outs[:4]
+
+    res = (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
+        jnp.sum(cnt).astype(jnp.uint32)
+    if debug_iters:
+        # (per-tile while iterations, per-pixel live-bounce count)
+        return res + (outs[4].reshape(num_tiles, tile_lanes)[:, 0],
                       cnt.reshape(n))
     return res
 

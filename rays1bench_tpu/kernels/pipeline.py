@@ -31,7 +31,7 @@ from rays1bench_tpu.core import rng as rng_mod
 from rays1bench_tpu.core.config import RenderConfig
 from rays1bench_tpu.kernels import culling
 from rays1bench_tpu.kernels.megakernel import trace_pallas, \
-    trace_pallas_wavefront
+    trace_pallas_respawn, trace_pallas_wavefront
 from rays1bench_tpu.render.camera import Camera
 from rays1bench_tpu.scene.soa_spheres import SphereSOA
 from rays1bench_tpu.scene.spheres import prepare
@@ -203,7 +203,8 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
                         chunk_size: int = 64,
                         n_real: Optional[int] = None,
                         wavefront: Optional[Tuple[int, ...]] = None,
-                        sync_every: int = 0
+                        sync_every: int = 0,
+                        respawn: bool = False
                         ) -> Tuple[jax.Array, jax.Array]:
     """Render a linear-radiance float image via the Pallas megakernel.
 
@@ -234,25 +235,64 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
     sync_every: bounces per early-exit check inside the kernel (skipping
     checks trades a possible overshoot bounce for fewer vector->scalar
     stalls; overshooting past the last live bounce is semantically free).
-    0 = auto by sphere count."""
+    0 = auto by sphere count.
+
+    respawn: use the persistent-lane sample-respawn megakernel (one LANE per
+    PIXEL, all spp samples traced serially per lane with in-register
+    regeneration — megakernel._respawn_kernel). Retires every ray the moment
+    it dies, so it wins exactly where dead-lane waste grows: deep bounce
+    budgets and high spp (the reference's own 250 spp / 50 bounce profile).
+    Per-ray math is bit-identical; pixel values differ from the other engines
+    only in sample-sum addition order. Mutually exclusive with wavefront."""
     assert cull in ("sort_trim", "bounds", "none"), cull
+    assert not (respawn and wavefront is not None), \
+        "respawn and wavefront are alternative scheduling strategies"
     return _render_jit(spheres_soa, camera, cfg, tile_rays, unroll,
-                       cull, chunk_size, n_real, wavefront, sync_every)
+                       cull, chunk_size, n_real, wavefront, sync_every,
+                       respawn)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll", "cull",
                                     "chunk_size", "n_real", "wavefront",
-                                    "sync_every"))
+                                    "sync_every", "respawn"))
 def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
                 tile_rays: int, unroll: int, cull: str, chunk_size: int,
                 n_real: Optional[int],
                 wavefront: Optional[Tuple[int, ...]] = None,
-                sync_every: int = 0
+                sync_every: int = 0, respawn: bool = False
                 ) -> Tuple[jax.Array, jax.Array]:
     spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, cull,
                                               chunk_size, n_real)
     n = cfg.num_primary_rays
+    if sync_every <= 0:
+        # Auto: exit checks are worth skipping when the sphere sweep is
+        # cheap relative to the ~1 us sync stall.
+        sync_every = 1 if spheres.count > 128 else 3
+
+    if respawn:
+        # Pixel-tile order with ONE LANE PER PIXEL: the respawn kernel owns
+        # the sample loop, so the slot stream enumerates pixels, not rays.
+        cfgp = cfg.replace(spp=1)
+        ids_np, _, _, inv_np, geom = _tile_order(cfg.width, cfg.height, 1,
+                                                 tile_rays)
+        pid, x, y = _tile_coords(cfgp, geom, len(ids_np))
+        (rr, rg, rb), num_rays = trace_pallas_respawn(
+            spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
+            unroll=unroll, bounds=bounds, chunk_size=chunk_size,
+            sync_every=sync_every)
+        gy, gx, th, tw = geom
+
+        def unpermute_pix(a):
+            if inv_np is None:
+                return a.reshape(gy, gx, th, tw).transpose(
+                    0, 2, 1, 3).reshape(cfg.height, cfg.width)
+            return jnp.take(a, _slot_of_id(cfgp, geom)).reshape(
+                cfg.height, cfg.width)
+
+        rad = jnp.stack([unpermute_pix(rr), unpermute_pix(rg),
+                         unpermute_pix(rb)], axis=-1)
+        return rad * jnp.float32(1.0 / cfg.spp), num_rays
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
         cfg.width, cfg.height, cfg.spp, tile_rays)
@@ -270,10 +310,6 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
             tile_rays=tile_rays, unroll=unroll, bounds=bounds,
             chunk_size=chunk_size, schedule=wavefront)
     else:
-        if sync_every <= 0:
-            # Auto: exit checks are worth skipping when the sphere sweep is
-            # cheap relative to the ~1 us sync stall.
-            sync_every = 1 if spheres.count > 128 else 3
         (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy,
                                               dz, ray_id, cfg,
                                               tile_rays=tile_rays,

@@ -75,7 +75,7 @@ def render_image_sharded(spheres_soa: SphereSOA, camera: Camera,
 @partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name", "tile_rays",
                                    "unroll", "cull", "chunk_size",
                                    "wavefront", "sync_every", "n_real",
-                                   "sample_axis", "interpret"))
+                                   "sample_axis", "interpret", "respawn"))
 def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                 cfg: RenderConfig, mesh: Mesh,
                                 axis_name: str = "rays",
@@ -84,7 +84,8 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                 chunk_size: int = 64,
                                 wavefront=None, sync_every: int = 0,
                                 n_real=None, sample_axis=None,
-                                interpret: bool = False
+                                interpret: bool = False,
+                                respawn: bool = False
                                 ) -> Tuple[jax.Array, jax.Array]:
     """The production multi-chip path: the Pallas megakernel under shard_map.
 
@@ -107,8 +108,16 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     mesh.shape[sample_axis] to divide cfg.spp. With samples innermost in
     ray_id, every device still keys the stateless RNG on global ids, so any
     mesh factorization renders the identical image.
+
+    respawn: shard the persistent-lane sample-respawn engine instead
+    (kernels/megakernel._respawn_kernel): PIXEL slots split over axis_name,
+    each device's lanes tracing their pixels' sample slice serially. Per-ray
+    math and ray counts are identical on any mesh; pixel values match the
+    single-chip respawn render bitwise on a tile-only mesh, and up to
+    sample-slice addition order when sample_axis is set.
     """
     from rays1bench_tpu.kernels.megakernel import (trace_pallas,
+                                                   trace_pallas_respawn,
                                                    trace_pallas_wavefront)
     from rays1bench_tpu.kernels.pipeline import (_tile_order, _tile_coords,
                                                  _slot_of_id, prepare_trimmed)
@@ -122,6 +131,12 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     n_samp = mesh.shape[sample_axis] if sample_axis else 1
     assert cfg.spp % n_samp == 0, (cfg.spp, n_samp)
     spp_loc = cfg.spp // n_samp
+    assert not (respawn and wavefront is not None), \
+        "respawn and wavefront are alternative scheduling strategies"
+    if respawn:
+        return _render_respawn_sharded(
+            spheres, bounds, camera, cfg, mesh, axis_name, tile_rays, unroll,
+            chunk_size, sync_every, sample_axis, n_samp, spp_loc, interpret)
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
         cfg.width, cfg.height, cfg.spp, tile_rays)
@@ -197,3 +212,71 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
 
     rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
     return rad.mean(axis=2), count
+
+
+def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
+                            tile_rays, unroll, chunk_size, sync_every,
+                            sample_axis, n_samp, spp_loc, interpret):
+    """Sample-respawn megakernel under shard_map (see
+    render_image_pallas_sharded's respawn flag). PIXEL slots are split over
+    axis_name in whole kernel tiles; a sample_axis device traces its pixels'
+    [j*spp_loc, (j+1)*spp_loc) slice and partial pixel sums are reduced on
+    the host side of the shard_map (sums are order-free)."""
+    from rays1bench_tpu.kernels.megakernel import trace_pallas_respawn
+    from rays1bench_tpu.kernels.pipeline import _tile_order, _tile_coords, \
+        _slot_of_id
+
+    n_tiles = mesh.shape[axis_name]
+    cfgp = cfg.replace(spp=1)
+    ids_np, _, _, inv_np, geom = _tile_order(cfg.width, cfg.height, 1,
+                                             tile_rays)
+    n_slots = len(ids_np)
+    per_dev = _round_up(-(-n_slots // n_tiles), tile_rays)
+    if sync_every <= 0:
+        sync_every = 1 if spheres.count > 128 else 3
+    use_cull = bounds is not None
+
+    def local(spheres, bounds, camera):
+        bounds = bounds if use_cull else None
+        i = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        j = (jax.lax.axis_index(sample_axis).astype(jnp.int32)
+             if sample_axis else jnp.int32(0))
+        slot = i * per_dev + jax.lax.iota(jnp.int32, per_dev)
+        pid, x, y = _tile_coords(cfgp, geom, slot=slot)
+        span = jnp.stack([j * spp_loc, (j + 1) * spp_loc]).reshape(1, 2)
+        (rr, rg, rb), nr = trace_pallas_respawn(
+            spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
+            unroll=unroll, bounds=bounds, chunk_size=chunk_size,
+            sync_every=sync_every, interpret=interpret,
+            num_pixels=cfg.num_pixels, sample_span=span)
+        axes = (axis_name, sample_axis) if sample_axis else axis_name
+        count = jax.lax.psum(nr, axes)
+        shape = (1, 1, per_dev) if sample_axis else (1, per_dev)
+        rs = lambda a: a.reshape(shape)
+        return rs(rr), rs(rg), rs(rb), count
+
+    spec = P(axis_name, sample_axis) if sample_axis else P(axis_name)
+    rr, rg, rb, count = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(spec, spec, spec, P()),
+        check_vma=False,
+    )(spheres, bounds if use_cull else jnp.zeros((4, 1), jnp.float32),
+      camera)
+
+    gy, gx, th, tw = geom
+
+    def unpermute_pix(a):
+        # partial sums over sample slices add here (order-free ints aside,
+        # float order is the documented respawn-engine property)
+        a = a.reshape(n_tiles, n_samp, per_dev).sum(axis=1)
+        a = a.reshape(-1)[:n_slots]
+        if inv_np is None:
+            return a.reshape(gy, gx, th, tw).transpose(
+                0, 2, 1, 3).reshape(cfg.height, cfg.width)
+        return jnp.take(a, _slot_of_id(cfgp, geom)).reshape(
+            cfg.height, cfg.width)
+
+    rad = jnp.stack([unpermute_pix(rr), unpermute_pix(rg),
+                     unpermute_pix(rb)], axis=-1)
+    return rad * jnp.float32(1.0 / cfg.spp), count

@@ -157,6 +157,91 @@ def test_wavefront_pipeline_end_to_end():
         kp._render_jit._clear_cache()
 
 
+@pytest.mark.parametrize("builder,spp,cull", [
+    (create_small_scene, 8, "sort_trim"),
+    (create_small_scene, 4, "bounds"),
+    (create_medium_scene, 2, "none"),
+])
+def test_respawn_pipeline_matches_oneshot(builder, spp, cull):
+    """The persistent-lane sample-respawn engine must produce EXACTLY the
+    one-shot kernel's ray count (identical per-ray trajectories) and its
+    pixel means up to float addition order (samples are summed serially per
+    lane instead of pairwise over a materialized per-ray axis)."""
+    from rays1bench_tpu.kernels import pipeline as kp
+    import functools
+
+    cfg = RenderConfig(width=64, height=32, spp=spp, max_bounces=6, seed=11)
+    scene = builder(cfg.aspect)
+    cam = scene.camera.build()
+
+    orig_one, orig_resp = kp.trace_pallas, kp.trace_pallas_respawn
+    kp._render_jit._clear_cache()
+    try:
+        kp.trace_pallas = functools.partial(orig_one, interpret=True)
+        kp.trace_pallas_respawn = functools.partial(orig_resp, interpret=True)
+        kw = dict(tile_rays=1024, unroll=4, cull=cull, chunk_size=32,
+                  n_real=scene.n_real)
+        ref, n_ref = kp.render_image_pallas(scene.spheres, cam, cfg, **kw)
+        img, n = kp.render_image_pallas(scene.spheres, cam, cfg,
+                                        respawn=True, **kw)
+        assert int(n) == int(n_ref)
+        d = np.abs(np.asarray(img) - np.asarray(ref))
+        assert d.max() < 1e-5, d.max()
+    finally:
+        kp.trace_pallas, kp.trace_pallas_respawn = orig_one, orig_resp
+        kp._render_jit._clear_cache()
+
+
+def test_respawn_sync_every_invariant():
+    """Overshooting dead lanes between early-exit checks must be idempotent:
+    no extra counts, no extra respawns, bitwise-identical pixel sums."""
+    from rays1bench_tpu.kernels.megakernel import trace_pallas_respawn
+    from rays1bench_tpu.kernels.pipeline import _tile_order, _tile_coords
+
+    cfg = RenderConfig(width=64, height=32, spp=3, max_bounces=8, seed=7)
+    scene = create_medium_scene(cfg.aspect)
+    prep = prepare(scene.spheres)
+    cam = scene.camera.build()
+    ids_np, _, _, _, geom = _tile_order(cfg.width, cfg.height, 1, 1024)
+    pid, x, y = _tile_coords(cfg.replace(spp=1), geom, len(ids_np))
+
+    (ar, ag, ab), n_a = trace_pallas_respawn(prep, cam, pid, x, y, cfg,
+                                             tile_lanes=1024, unroll=4,
+                                             interpret=True)
+    (br, bg, bb), n_b = trace_pallas_respawn(prep, cam, pid, x, y, cfg,
+                                             tile_lanes=1024, unroll=4,
+                                             sync_every=3, interpret=True)
+    assert int(n_a) == int(n_b)
+    for a, b in zip((ar, ag, ab), (br, bg, bb)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_respawn_padding_lanes_inactive():
+    """Pixel slots past the image (the inexact-tiling pad) never trace, never
+    count, and leave zero radiance."""
+    from rays1bench_tpu.kernels.megakernel import trace_pallas_respawn
+    from rays1bench_tpu.kernels.pipeline import _tile_order, _tile_coords
+
+    cfg = RenderConfig(width=50, height=30, spp=2, max_bounces=4, seed=3)
+    scene = create_small_scene(cfg.aspect)
+    prep = prepare(scene.spheres)
+    cam = scene.camera.build()
+    ids_np, _, _, _, geom = _tile_order(cfg.width, cfg.height, 1, 1024)
+    pid, x, y = _tile_coords(cfg.replace(spp=1), geom, len(ids_np))
+    assert len(ids_np) > cfg.num_pixels  # the pad is actually exercised
+
+    (rr, rg, rb), n = trace_pallas_respawn(prep, cam, pid, x, y, cfg,
+                                           tile_lanes=1024, unroll=4,
+                                           interpret=True)
+    pad_mask = np.asarray(pid) >= cfg.num_pixels
+    assert np.asarray(rr)[pad_mask].sum() == 0
+    # count matches the XLA integrator on the same (unpadded) rays
+    ray_id, rays = _primary_rays(cfg, scene)
+    _, n_ref = trace(prep, *rays, jnp.uint32(cfg.seed), ray_id,
+                     max_bounces=cfg.max_bounces)
+    assert int(n) == int(n_ref)
+
+
 @pytest.mark.parametrize("w,h,spp,tile", [(64, 32, 2, 1024), (1280, 720, 4, 2048),
                                           (50, 30, 3, 1024)])
 def test_tile_coords_match_numpy(w, h, spp, tile):

@@ -122,6 +122,48 @@ def test_pallas_sharded_full_feature_surface(scene_and_camera):
         assert (np.asarray(img) == np.asarray(ref)).all(), kw
 
 
+def test_pallas_sharded_respawn(scene_and_camera):
+    """The sample-respawn engine under shard_map: bitwise-identical to the
+    single-device respawn render on a tile-only mesh (whole pixels per
+    device, same serial sample order); exact ray counts and 1-ULP pixel
+    means on a 2-D (tiles, samples) mesh (sample slices sum partial pixel
+    totals in a different order)."""
+    import functools
+    from rays1bench_tpu.kernels import pipeline as kp
+    from rays1bench_tpu.parallel.mesh import make_mesh2d
+    from rays1bench_tpu.parallel.shard import render_image_pallas_sharded
+
+    scene, camera = scene_and_camera
+    cfg = CFG.replace(spp=4)
+    orig = kp.trace_pallas_respawn
+    kp._render_jit._clear_cache()
+    try:
+        kp.trace_pallas_respawn = functools.partial(orig, interpret=True)
+        ref, n_ref = kp.render_image_pallas(scene.spheres, camera, cfg,
+                                            tile_rays=1024, unroll=4,
+                                            n_real=scene.n_real, respawn=True)
+    finally:
+        kp.trace_pallas_respawn = orig
+        kp._render_jit._clear_cache()
+
+    for n_dev in (2, 8):
+        img, n = render_image_pallas_sharded(
+            scene.spheres, camera, cfg, make_mesh(n_dev), tile_rays=1024,
+            unroll=4, n_real=scene.n_real, interpret=True, respawn=True)
+        assert int(n) == int(n_ref), n_dev
+        assert (np.asarray(img) == np.asarray(ref)).all(), n_dev
+
+    for n_tiles, n_samp in ((2, 4), (4, 2)):
+        mesh = make_mesh2d(n_tiles, n_samp)
+        img, n = render_image_pallas_sharded(
+            scene.spheres, camera, cfg, mesh, axis_name="tiles",
+            sample_axis="samples", tile_rays=1024, unroll=4,
+            n_real=scene.n_real, interpret=True, respawn=True)
+        assert int(n) == int(n_ref), (n_tiles, n_samp)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-7, err_msg=str((n_tiles, n_samp)))
+
+
 def test_pallas_sharded_2d_mesh(scene_and_camera):
     """(tiles, samples) 2-D mesh factorizations (SURVEY.md §7.2-6) render
     the same image: per-ray radiance is bitwise identical (stateless RNG on
