@@ -4,22 +4,26 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "mrays/s", "vs_baseline": N}
 
-Metric: sustained mrays/s on the large scene (1280x720 @ 4 spp, max 10
-bounces, BASELINE.json headline config), rays counted per radiance evaluation
-incl. bounces — the reference's own metric (src/latest/rayweek1.cpp:517,
-src/common/common.h:41-44). vs_baseline compares against the reference's best
-published number, step13 multithreaded large = 59.362 mrays/s on an i9 9900K
-(README.md:52).
+Metric: sustained mrays/s on the large scene at the reference's OWN published
+headline workload — 1280x720 @ 250 spp @ max 50 bounces
+(src/common/common.h:23-28, the profile behind every published step13
+number) — rays counted per radiance evaluation incl. bounces, the reference's
+own metric (src/latest/rayweek1.cpp:517, src/common/common.h:41-44).
+vs_baseline divides by the reference's best published number at the SAME
+workload: step13 multithreaded large = 59.362 mrays/s on an i9 9900K
+(README.md:52). Default engine: the persistent-lane sample-respawn megakernel
+(kernels/megakernel._respawn_kernel), which retires rays per-lane — at 50
+bounces the one-shot tile-early-exit kernel strands 2.4-3.3x dead-lane work
+and measures 39.7 mrays/s here; respawn measures ~126.
 
 "Sustained" = N frames rendered back-to-back inside one jit dispatch
 (lax.scan), total rays / total seconds. This dev environment reaches its TPU
 through a tunnel costing ~29 ms per synchronous dispatch (measured on an
 (8,128) elementwise op — tools/dispatch_floor_probe.py), which is a property
-of the tunnel, not the chip; batching frames measures the hardware the way a
-production render loop would run it. The per-single-dispatch number (tunnel
-round trip included) is printed on stderr alongside.
+of the tunnel, not the chip; at 5 s/frame the tunnel is < 1% anyway. The
+per-single-dispatch number is printed on stderr alongside.
 
-Usage: python bench.py [--runs N] [--frames N] [--scene large] [--spp 4]
+Usage: python bench.py [--runs N] [--frames N] [--scene large] [--spp 250]
 """
 
 import argparse
@@ -33,18 +37,22 @@ BASELINE_MRAYS = 59.362  # reference step13 MT, large scene (README.md:52)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--frames", type=int, default=8,
-                    help="frames per dispatch for the sustained metric")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=2,
+                    help="frames per dispatch for the sustained metric "
+                         "(each full-workload frame is ~5 s on-device; two "
+                         "frames bound the dispatch while still amortizing "
+                         "the tunnel)")
     ap.add_argument("--scene", default="large", choices=["small", "medium", "large"])
-    ap.add_argument("--spp", type=int, default=4)
-    ap.add_argument("--max-bounces", type=int, default=10)
+    ap.add_argument("--spp", type=int, default=250)
+    ap.add_argument("--max-bounces", type=int, default=50)
     ap.add_argument("--quick", action="store_true", help="80x60 smoke config")
     ap.add_argument("--save", action="store_true", help="write out_<scene>.tga")
-    ap.add_argument("--engine", default="oneshot",
+    ap.add_argument("--engine", default="respawn",
                     choices=["oneshot", "respawn"],
-                    help="megakernel scheduling: one-shot tile early-exit or "
-                         "persistent-lane sample respawn")
+                    help="megakernel scheduling: persistent-lane sample "
+                         "respawn (default; wins at every measured workload) "
+                         "or one-shot tile early-exit")
     args = ap.parse_args()
 
     import jax
@@ -66,9 +74,11 @@ def main():
     camera = scene.camera.build()
 
     # The wavefront=(4,7) row-compacted variant measures within noise of the
-    # one-shot kernel on the large scene (~113 ms/frame either way). The
-    # respawn engine retires rays per-lane (megakernel._respawn_kernel) and
-    # is the winner at deep bounce budgets / high spp.
+    # one-shot kernel on the large scene at 10 bounces (~113 ms/frame either
+    # way). The respawn engine retires rays per-lane
+    # (megakernel._respawn_kernel) and wins everywhere measured: 3.2x the
+    # one-shot at 250 spp/50 bounces (125.9 vs 39.7 mrays/s), 1.11x at
+    # 4 spp/10 bounces single-dispatch (tools/respawn_probe.py 2026-08-20).
     respawn = args.engine == "respawn"
     render_image_ = lambda sph, cam_, cfg_: render_image(
         sph, cam_, cfg_, n_real=scene.n_real, respawn=respawn)

@@ -38,6 +38,11 @@ def main(argv=None):
                          "multi-chip path (parallel.shard."
                          "render_image_pallas_sharded)")
     ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--label", default=None,
+                    help="record version label written to out_<scene>.txt "
+                         "(default: the harness VERSION_NAME) — lets one "
+                         "records/ table hold rows from several engine "
+                         "configurations")
     ap.add_argument("--report", action="store_true",
                     help="print the markdown results table afterwards")
     ap.add_argument("--sustained", type=int, default=0, metavar="FRAMES",
@@ -121,7 +126,8 @@ def main(argv=None):
             else:
                 results = benchmark(scene, cfg, num_runs=args.num,
                                     write_tga=tga_path, render_fn=render_fn)
-            rec = log_results(name, results, directory=args.out_dir)
+            kw = {"version": args.label} if args.label else {}
+            rec = log_results(name, results, directory=args.out_dir, **kw)
             r = results[-1]
             print(f"{name}\nelapsed time:\t{r.elapsed_seconds:.3f}s\n"
                   f"total rays:\t{r.num_rays}\n"

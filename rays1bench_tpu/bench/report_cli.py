@@ -86,6 +86,25 @@ def headline_table(dirs, scenes) -> str:
     return "\n".join(lines)
 
 
+def scaling_table(path) -> str:
+    """Scaling-sweep records (records/scaling/sweep.txt,
+    `label|devices|seconds|rays|mrays|eff|` one per line, written by
+    bench/scaling.py --record) -> markdown."""
+    import os
+    if not os.path.exists(path):
+        return ""
+    lines = ["| workload / engine | devices | mrays/s | efficiency |",
+             "|---|---|---|---|"]
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 6 or not parts[0]:
+                continue
+            lines.append(f"| {parts[0]} | {parts[1]} | {float(parts[4]):.2f}"
+                         f" | {float(parts[5]):.0%} |")
+    return "\n".join(lines)
+
+
 def grad_table(path) -> str:
     """Gradient-step records (records/grad/steps.txt,
     `label|s_per_step|steps_per_sec|` one per line) -> markdown."""
@@ -117,8 +136,10 @@ def generate(dirs, scenes, include_reference=True) -> str:
 
 
 def build_subs(dirs, scenes, include_reference=True,
-               full_dirs=("records/full_ref_box", "records/full"),
-               grad_path="records/grad/steps.txt") -> dict:
+               full_dirs=("records/full_ref_box", "records/full_oneshot",
+                          "records/full"),
+               grad_path="records/grad/steps.txt",
+               scaling_path="records/scaling/sweep.txt") -> dict:
     """All template placeholders, from records only (no hand data):
     __RESULTS_<SCENE>__ (headline workload), __RESULTS_FULL_<SCENE>__
     (250 spp @ 50 bounces), __RESULTS_GRAD__, __RESULTS_HEADLINE__ (README
@@ -130,6 +151,7 @@ def build_subs(dirs, scenes, include_reference=True,
         subs[f"__RESULTS_FULL_{s.upper()}__"] = full_table(
             list(full_dirs), s, include_reference)
     subs["__RESULTS_GRAD__"] = grad_table(grad_path)
+    subs["__RESULTS_SCALING__"] = scaling_table(scaling_path)
     subs["__RESULTS_HEADLINE__"] = headline_table(dirs, scenes)
     # Same summary shape at the reference's own full workload; only OUR
     # records (last dir) — the ref rows are the ratio denominator already.

@@ -83,6 +83,11 @@ def main(argv=None):
                     help="force the CPU backend (the env pins the TPU plugin; "
                          "combine with XLA_FLAGS=--xla_force_host_platform_"
                          "device_count=N for an N-device virtual mesh)")
+    ap.add_argument("--record", default="",
+                    help="write 'label|devices|seconds|rays|mrays|eff|' "
+                         "lines to this file — the source for RESULTS.md's "
+                         "__RESULTS_SCALING__ table "
+                         "(bench/report_cli.scaling_table)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -102,6 +107,17 @@ def main(argv=None):
     print(f"{'devices':>8} {'mrays/s':>10} {'efficiency':>10}")
     for p, e in zip(points, effs):
         print(f"{p.n_devices:>8} {p.mrays:>10.2f} {e:>10.2%}")
+    if args.record:
+        import os
+        os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
+        backend = jax.devices()[0].platform
+        label = (f"{args.scene} {args.width}x{args.height} @ {args.spp} spp, "
+                 f"{args.engine}"
+                 f"{' (interpret)' if args.interpret else ''}, {backend}")
+        with open(args.record, "a") as f:
+            for p, e in zip(points, effs):
+                f.write(f"{label}|{p.n_devices}|{p.elapsed_seconds:.4f}s|"
+                        f"{p.num_rays}|{p.mrays:.3f}|{e:.3f}|\n")
 
 
 if __name__ == "__main__":

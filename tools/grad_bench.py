@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--scene", default="small",
                     choices=["small", "medium", "large"])
+    ap.add_argument("--record", default="",
+                    help="append a 'label|s_per_step|steps_per_sec|' record "
+                         "line (the sustained number) to this file — the "
+                         "source for RESULTS.md's __RESULTS_GRAD__ table "
+                         "(bench/report_cli.grad_table)")
     args = ap.parse_args()
 
     from rays1bench_tpu.core.cache import enable
@@ -99,6 +104,12 @@ def main():
           f"({1/single:.1f} steps/s) sustained={sust*1e3:.2f}ms "
           f"({1/sust:.1f} steps/s, {args.steps} chained) "
           f"loss0={float(losses[0]):.3e}", flush=True)
+    if args.record:
+        os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
+        label = (f"{args.scene} {args.width}x{args.height} @ {args.spp} spp, "
+                 f"{tag}, sustained x{args.steps}")
+        with open(args.record, "a") as f:
+            f.write(f"{label}|{sust:.4f}s|{1/sust:.1f}|\n")
 
 
 if __name__ == "__main__":
