@@ -7,14 +7,18 @@ Two modes:
   (default)       fit ALBEDOS with the exact renderer — the fixed-topology
                   gradient (SURVEY.md §7.3) recovers them cleanly.
   --fit-geometry  fit sphere CENTER (x, y) and RADIUS with the
-                  soft-silhouette renderer (cfg.soft_silhouette: sigmoid
-                  coverage of the winning sphere's discriminant) — the
-                  relaxation that makes silhouette motion differentiable.
-                  Measured on this scene: a (+0.06, -0.04) center shift and
-                  -0.03 radius error all recover to <1/3 of the initial
-                  error in 150 steps at lr 1e-3 (higher joint rates diverge
-                  on radius; depth (center_z) stays ill-conditioned from a
-                  single view — scale/depth ambiguity).
+                  soft-silhouette renderer (cfg.soft_silhouette: detached
+                  two-branch silhouette sampler + cross-seed U-statistic
+                  loss, render/integrator.py / grad/inverse.image_loss) —
+                  the relaxation that makes silhouette motion
+                  differentiable against its true occluded background.
+                  Measured on this scene (2026-08-20 sweep): a
+                  (+0.06, -0.04) center shift and -0.03 radius error
+                  recover to 10-28% of the initial error in 150 steps at
+                  lr 2e-3, width 0.005 (the superseded one-sided estimator
+                  capped at lr 1e-3 / ~35%; lr 5e-3 drifts on center_x;
+                  depth (center_z) stays ill-conditioned from a single
+                  view — scale/depth ambiguity).
 
     python examples/inverse_rendering.py [--steps 120] [--cpu] [--fit-geometry]
 """
@@ -31,7 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--lr", type=float, default=0.0,
-                    help="Adam lr (default: 1e-2 albedo, 1e-3 geometry)")
+                    help="Adam lr (default: 1e-2 albedo, 2e-3 geometry)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--fit-geometry", action="store_true",
@@ -61,9 +65,11 @@ def main():
 
     if args.fit_geometry:
         # Soft-silhouette geometry fit: move + resize the diffuse sphere,
-        # recover it. The relaxation (and the lr=1e-3 rate) is calibrated in
-        # tests/test_grad.py::test_soft_silhouette_recovers_geometry.
-        cfg = cfg.replace(soft_silhouette=0.1)
+        # recover it. The relaxation width (world units, ~1% of the small
+        # spheres' radius) and the lr=2e-3 rate are calibrated in
+        # tests/test_grad.py::test_soft_silhouette_recovers_geometry and
+        # tools/soft_silhouette_calibration.py.
+        cfg = cfg.replace(soft_silhouette=0.005)
         target = render_for_loss(scene.spheres, camera, cfg)
         perturbed = dataclasses.replace(
             scene.spheres,
@@ -74,7 +80,7 @@ def main():
         # rows=(0,): fit the sphere we know is uncertain. Without the mask
         # the glass sphere's weakly-observed x walks ~0.1 along a flat loss
         # direction (loss unchanged) under Adam's normalization.
-        inv = InverseConfig(learning_rate=args.lr or 1e-3,
+        inv = InverseConfig(learning_rate=args.lr or 2e-3,
                             steps=max(args.steps, 150), optimize=names,
                             rows=(0,))
     else:

@@ -27,7 +27,8 @@ from rays1bench_tpu.utils.metrics import ScalingPoint, scaling_efficiency
 
 def sweep(scene_name: str, cfg, device_counts: List[int],
           runs: int = 2, engine: str = "pallas",
-          interpret: bool = False) -> List[ScalingPoint]:
+          interpret: bool = False, respawn: bool = False
+          ) -> List[ScalingPoint]:
     # Imported here: pulling in the scene/renderer modules initializes the
     # JAX backend (pytree registration touches it), which must happen AFTER
     # any jax_platforms override in main().
@@ -43,6 +44,7 @@ def sweep(scene_name: str, cfg, device_counts: List[int],
         render = (lambda sph, cam, cf, mesh:
                   render_image_pallas_sharded(sph, cam, cf, mesh,
                                               n_real=n_real,
+                                              respawn=respawn,
                                               interpret=interpret))
     else:
         render = render_image_sharded
@@ -79,6 +81,9 @@ def main(argv=None):
     ap.add_argument("--interpret", action="store_true",
                     help="run the Pallas engine in interpreter mode "
                          "(required on the CPU backend)")
+    ap.add_argument("--respawn", action="store_true",
+                    help="use the persistent-lane sample-respawn engine "
+                         "(pallas engine only)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the env pins the TPU plugin; "
                          "combine with XLA_FLAGS=--xla_force_host_platform_"
@@ -102,7 +107,8 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_bounces=args.max_bounces, ray_chunk=16384)
     points = sweep(args.scene, cfg, counts, runs=args.runs,
-                   engine=args.engine, interpret=args.interpret)
+                   engine=args.engine, interpret=args.interpret,
+                   respawn=args.respawn)
     effs = scaling_efficiency(points)
     print(f"{'devices':>8} {'mrays/s':>10} {'efficiency':>10}")
     for p, e in zip(points, effs):
@@ -112,7 +118,7 @@ def main(argv=None):
         os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
         backend = jax.devices()[0].platform
         label = (f"{args.scene} {args.width}x{args.height} @ {args.spp} spp, "
-                 f"{args.engine}"
+                 f"{args.engine}{' respawn' if args.respawn else ''}"
                  f"{' (interpret)' if args.interpret else ''}, {backend}")
         with open(args.record, "a") as f:
             for p, e in zip(points, effs):

@@ -51,16 +51,31 @@ class RenderConfig:
     # better. Pass an explicit bool to override either way.
     pallas_intersect: Optional[bool] = None
     # Soft-silhouette relaxation width for inverse rendering (0 = off, the
-    # exact renderer). When > 0, a hit lane's throughput is split by a
-    # sigmoid coverage of the winning sphere's normalized discriminant:
-    # cover = sigmoid((disc / |radius^2|) / soft_silhouette). Interior hits
-    # saturate to cover = 1; rays inside the silhouette band leak
-    # (1 - cover) of their throughput to the sky. This makes silhouette
-    # motion differentiable (d cover / d center, radius != 0 at the edge),
-    # which the fixed-topology gradient (SURVEY.md §7.3) structurally lacks
-    # — the enabler for fitting sphere GEOMETRY to images
-    # (examples/inverse_rendering.py --fit-geometry). Affects the XLA/grad
-    # pipeline only; the megakernel forward ignores it.
+    # exact renderer), in WORLD units of the silhouette edge coordinate
+    # edge = |r| - b (b = ray-to-center distance; linear in the impact
+    # parameter, 0 at the silhouette, positive inside). When > 0, every
+    # lane grazing a sphere (|edge| within ~9.2 * soft_silhouette, in front
+    # of its current hit) becomes a soft hit with
+    # cover = sigmoid(edge / soft_silhouette), and the integrator runs the
+    # DETACHED TWO-BRANCH estimator: bounce off the sphere with probability
+    # stop_grad(cover) or pass through it from the far-exit point, with
+    # ratio weights cover/sg(cover) and (1-cover)/sg(1-cover) — weights are
+    # exactly 1 at evaluation (the render equals the hard image in
+    # expectation) but their derivative carries the two-sided silhouette
+    # term against the TRUE occluded background. Interior hits saturate to
+    # cover = 1 (always bounce, weight 1: the exact render). This makes
+    # silhouette motion differentiable (d cover / d center, radius != 0 at
+    # the edge), which the fixed-topology gradient (SURVEY.md §7.3)
+    # structurally lacks — the enabler for fitting sphere GEOMETRY to images
+    # (examples/inverse_rendering.py --fit-geometry). Calibration
+    # (tools/soft_silhouette_calibration.py, 2026-08-20): the analytic
+    # gradient matches the seed-averaged FD of its own estimator to ~1.0 at
+    # every width, and the HARD render's FD silhouette derivative to
+    # 0.66-0.72 at width 0.02 / 0.94-0.96 at width 0.005 — use ~0.005
+    # (1% of the RTiOW unit sphere radius) unless the fit needs a wider
+    # basin. Fitting with a stochastic render needs the cross-seed
+    # U-statistic loss (grad/inverse.image_loss, automatic). Affects the
+    # XLA/grad pipeline only; the megakernel forward ignores it.
     soft_silhouette: float = 0.0
 
     @property

@@ -188,3 +188,4 @@ class Slots:
     LENS_V = 3
     SCATTER_BALL = 8       # 5 slots: lambertian/metal unit-ball sample
     DIELECTRIC_P = 13      # reflect-vs-refract probability draw
+    SILHOUETTE_P = 14      # soft-silhouette bounce-vs-pass-through draw

@@ -83,9 +83,27 @@ def image_loss(params: Dict[str, jax.Array], spheres: SphereSOA,
                camera: Camera, target: jax.Array, cfg: RenderConfig,
                mesh=None) -> jax.Array:
     """MSE in linear radiance between a render with `params` applied and the
-    target image."""
-    img = render_for_loss(with_params(spheres, params), camera, cfg, mesh)
-    return jnp.mean((img - target) ** 2)
+    target image.
+
+    With cfg.soft_silhouette > 0 the render is a STOCHASTIC estimator (the
+    detached two-branch silhouette sampler, render/integrator.py), and the
+    naive squared error decomposes as
+        E[(img - target)^2] = (E[img] - target)^2 + Var(img):
+    the variance term's gradient is a spurious force that pushes silhouettes
+    away from high-contrast backgrounds regardless of the target (measured:
+    it stalls the geometry fit outright). The U-statistic form used here —
+    the cross product of TWO INDEPENDENT renders,
+        E[(imgA - target) * (imgB - target)] = (E[img] - target)^2
+    — is unbiased for the squared bias alone, with no variance term, at the
+    cost of a second forward. The hard renderer is deterministic
+    (imgA == imgB), where this reduces to the plain MSE."""
+    sph = with_params(spheres, params)
+    img = render_for_loss(sph, camera, cfg, mesh)
+    if not cfg.soft_silhouette:
+        return jnp.mean((img - target) ** 2)
+    img_b = render_for_loss(sph, camera,
+                            cfg.replace(seed=cfg.seed + 101), mesh)
+    return jnp.mean((img - target) * (img_b - target))
 
 
 def make_train_step(spheres_template: SphereSOA, camera: Camera,

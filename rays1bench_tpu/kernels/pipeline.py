@@ -267,8 +267,12 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     n = cfg.num_primary_rays
     if sync_every <= 0:
         # Auto: exit checks are worth skipping when the sphere sweep is
-        # cheap relative to the ~1 us sync stall.
-        sync_every = 1 if spheres.count > 128 else 3
+        # cheap relative to the ~1 us sync stall. Respawn lanes desynchronize
+        # by design, so its tile-exit check only fires near the very end of
+        # a tile's sample budget — checking every 4th step measured +1.2%
+        # at the full 250 spp/50 bounce workload (127.15 vs 125.7 mrays/s,
+        # tools/respawn_probe.py --sync-every, 2026-08-20).
+        sync_every = 4 if respawn else (1 if spheres.count > 128 else 3)
 
     if respawn:
         # Pixel-tile order with ONE LANE PER PIXEL: the respawn kernel owns

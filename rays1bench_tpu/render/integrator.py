@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from rays1bench_tpu.core import rng as rng_mod
 from rays1bench_tpu.render.intersect import closest_hit
 from rays1bench_tpu.render.materials import scatter
 from rays1bench_tpu.scene.spheres import PreparedSpheres
@@ -60,28 +61,46 @@ def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
     rg = rg + jnp.where(miss, ag * skg, 0.0)
     rb = rb + jnp.where(miss, ab * skb, 0.0)
 
-    if soft_eps:
-        # Soft silhouette (cfg.soft_silhouette): a hit lane's throughput is
-        # split by the winning sphere's coverage — (1 - cover) leaks to the
-        # sky NOW, cover continues into the scatter. Interior hits have
-        # cover = 1 (exact render); the sigmoid band at the silhouette makes
-        # edge motion differentiable w.r.t. center/radius.
-        hitm = alive & rec.hit
-        leak = 1.0 - rec.cover
-        rr = rr + jnp.where(hitm, ar * leak * skr, 0.0)
-        rg = rg + jnp.where(hitm, ag * leak * skg, 0.0)
-        rb = rb + jnp.where(hitm, ab * leak * skb, 0.0)
-
     # Hit -> scatter if depth allows (depth < MAX_BOUNCES, rayweek1.cpp:523).
     (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed, ray_id,
                                              bounce)
+    hx, hy, hz = rec.px, rec.py, rec.pz
     if soft_eps:
-        mr, mg, mb = mr * rec.cover, mg * rec.cover, mb * rec.cover
+        # Soft silhouette (cfg.soft_silhouette): detached two-branch
+        # estimator. A soft-hit lane either BOUNCES off the winning sphere
+        # (probability sg(cover)) or PASSES THROUGH it, resuming straight
+        # from the far-exit point (px2..) — so what the silhouette
+        # alpha-blends against is the scene actually behind the sphere, not
+        # a sky proxy. Branch weights cover/sg(cover) and
+        # (1-cover)/sg(1-cover) are exactly 1 at evaluation (the render is
+        # the hard image in expectation, converging to it as eps -> 0), but
+        # their derivative carries the score term: E[grad] = cover' *
+        # (f_bounce - f_through) + interior grads — the unbiased gradient of
+        # the alpha-composited relaxation, two-sided at every silhouette.
+        # Interior lanes have cover saturated at 1: always bounce, weight 1,
+        # zero silhouette term — the exact render.
+        sg = jax.lax.stop_gradient
+        u = rng_mod.uniform01(seed, ray_id, bounce,
+                              rng_mod.Slots.SILHOUETTE_P)
+        cov_sg = sg(rec.cover)
+        take = u < cov_sg
+        w_b = rec.cover / jnp.maximum(cov_sg, 1e-20)
+        w_t = (1.0 - rec.cover) / jnp.maximum(1.0 - cov_sg, 1e-20)
+        sx = jnp.where(take, sx, dx)   # pass-through keeps the direction
+        sy = jnp.where(take, sy, dy)
+        sz = jnp.where(take, sz, dz)
+        mr = jnp.where(take, mr * w_b, w_t)
+        mg = jnp.where(take, mg * w_b, w_t)
+        mb = jnp.where(take, mb * w_b, w_t)
+        ok = (take & ok) | ~take       # pass-through never absorbs
+        hx = jnp.where(take, hx, rec.px2)
+        hy = jnp.where(take, hy, rec.py2)
+        hz = jnp.where(take, hz, rec.pz2)
     cont = alive & rec.hit & ok & (bounce < max_bounces)
 
-    ox = jnp.where(cont, rec.px, ox)
-    oy = jnp.where(cont, rec.py, oy)
-    oz = jnp.where(cont, rec.pz, oz)
+    ox = jnp.where(cont, hx, ox)
+    oy = jnp.where(cont, hy, oy)
+    oz = jnp.where(cont, hz, oz)
     dx = jnp.where(cont, sx, dx)
     dy = jnp.where(cont, sy, dy)
     dz = jnp.where(cont, sz, dz)

@@ -85,9 +85,14 @@ class HitRecord:
     albedo_z: jax.Array
     fuzz: jax.Array
     ref_idx: jax.Array
-    # Soft-silhouette coverage in (0, 1] (cfg.soft_silhouette > 0 only;
-    # None = hard renderer). Carries the silhouette-motion gradient.
+    # Soft-silhouette fields (cfg.soft_silhouette > 0 only; None = hard
+    # renderer). cover in (0, 1) carries the silhouette-motion gradient;
+    # (px2, py2, pz2) is the far-exit point of the winning sphere — where the
+    # detached estimator's pass-through branch resumes the ray (integrator).
     cover: object = None
+    px2: object = None
+    py2: object = None
+    pz2: object = None
 
 
 def closest_hit(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
@@ -131,6 +136,67 @@ def closest_hit(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
                                  t_min, soft_eps=soft_eps)
 
 
+# Near-miss band half-width in units of soft_eps: lanes with edge
+# coordinate in (-_NEAR_CUT * soft_eps, 0] get a coverage term. At the
+# cut, cover = sigmoid(-_NEAR_CUT) ~ 1e-4 — the truncation discontinuity is
+# four orders below the signal.
+_NEAR_CUT = 9.2
+
+
+def _near_miss_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
+                     hit, best, t_min: float, soft_eps: float):
+    """Best near-miss sphere per ray: the index whose silhouette coordinate
+    edge = |r| - b is largest (least negative) among spheres the ray MISSES
+    (edge <= 0) whose closest approach lies in front of the ray and NEARER
+    than the ray's current hit. Pure hit *topology* (like the argmin index),
+    so it is computed under stop_gradient; the differentiable coverage chain
+    is rebuilt from the index in hit_record_from_index.
+
+    Returns (j_near int32[N], near bool[N]): near marks lanes grazing a
+    sphere inside the (-_NEAR_CUT * soft_eps, 0] silhouette band in front of
+    whatever they currently hit (or grazing anything, for miss lanes) — the
+    lanes the one-sided relaxation dropped. They contributed to FD but
+    carried no cover term, which measured analytic/FD at only 0.37-0.69
+    (round-2 verdict item 4); with the promotion + the integrator's detached
+    two-branch estimator, every silhouette gets its full two-sided gradient
+    against the TRUE background (the pass-through branch keeps tracing)."""
+    sg = jax.lax.stop_gradient
+    rox, roy, roz = sg(ox)[:, None], sg(oy)[:, None], sg(oz)[:, None]
+    rdx, rdy, rdz = sg(dx)[:, None], sg(dy)[:, None], sg(dz)[:, None]
+    cx, cy, cz = (sg(spheres.center_x), sg(spheres.center_y),
+                  sg(spheres.center_z))
+    rsq = sg(spheres.radius_sq)
+
+    cox = cx - rox
+    coy = cy - roy
+    coz = cz - roz
+    nb = cox * rdx + coy * rdy + coz * rdz
+    co2 = cox * cox + coy * coy + coz * coz
+    # Same edge coordinate as hit_record_from_index's cover: |r| - b in
+    # world units, linear in the impact parameter (see the comment there).
+    edge = jnp.sqrt(jnp.maximum(rsq, 0.0)) - \
+        jnp.sqrt(jnp.maximum(co2 - nb * nb, 1e-20))
+
+    # t of the CURRENT hit (+inf on miss lanes), recomputed from the winning
+    # index — cheap O(N) gathers, stop_gradient (topology only).
+    j0 = sg(best)
+    g0x = jnp.take(cx, j0) - sg(ox)
+    g0y = jnp.take(cy, j0) - sg(oy)
+    g0z = jnp.take(cz, j0) - sg(oz)
+    nb0 = g0x * sg(dx) + g0y * sg(dy) + g0z * sg(dz)
+    c0 = g0x * g0x + g0y * g0y + g0z * g0z - jnp.take(rsq, j0)
+    sq0 = safe_sqrt(nb0 * nb0 - c0)
+    t10 = nb0 - sq0
+    t_hit = jnp.where(hit, jnp.where(t10 > t_min, t10, nb0 + sq0), _BIG)
+
+    graze = ((spheres.valid > 0.0) & (nb > t_min) & (edge <= 0.0)
+             & (nb < t_hit[:, None]))
+    score = jnp.where(graze, edge, -_BIG)
+    j_near = jnp.argmax(score, axis=1)
+    near = jnp.max(score, axis=1) > jnp.float32(-_NEAR_CUT * soft_eps)
+    return j_near, near
+
+
 def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
                           best, hit, t_min: float,
                           soft_eps: float = 0.0) -> HitRecord:
@@ -139,8 +205,25 @@ def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
     O(N) recompute of t/p/normal from the chosen sphere's parameters, so
     gradients flow through a short, well-conditioned chain instead of through
     the full (N, S) matrix. `best`/`hit` may come from the XLA argmin above
-    or from the Pallas index kernel (kernels/intersect_pallas.py)."""
+    or from the Pallas index kernel (kernels/intersect_pallas.py).
+
+    With soft_eps > 0 the relaxation is TWO-SIDED: lanes grazing a sphere
+    (edge coordinate |r| - b in (-9.2 * soft_eps, 0] world units, closest approach in
+    front of the current hit) are promoted to soft hits of that sphere at its
+    closest-approach point t = nb (where the two roots meet as disc -> 0),
+    with cover = sigmoid(edge / soft_eps) < 1/2 — continuous across the
+    silhouette with the interior branch. The integrator's detached two-branch
+    estimator (render/integrator._bounce_step) then either bounces off the
+    winning sphere or passes through it from (px2, py2, pz2), which makes the
+    analytic silhouette gradient an unbiased estimate of the relaxation's
+    true derivative — against the real background, not a sky proxy — instead
+    of the one-sided estimator's ~half magnitude."""
     j = jax.lax.stop_gradient(best)
+    if soft_eps:
+        j_near, near = _near_miss_index(ox, oy, oz, dx, dy, dz, spheres,
+                                        hit, best, t_min, soft_eps)
+        j = jnp.where(near, j_near, j)
+        hit = hit | near
     (cx, cy, cz, rsq, inv_r, alb_x, alb_y, alb_z, fuzz, ref_idx) = take_cols(
         jnp.stack([spheres.center_x, spheres.center_y, spheres.center_z,
                    spheres.radius_sq, spheres.inv_radius, spheres.albedo_x,
@@ -155,14 +238,36 @@ def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
     t = jnp.where(t1_j > t_min, t1_j, nb_j + sq_j)
 
     cover = None
+    px2 = py2 = pz2 = None
     if soft_eps:
-        # Normalized silhouette coordinate: disc / |r^2| is 1 for a ray
-        # through the center, 0 at the silhouette, dimensionless — so one
-        # soft_eps works across sphere scales. Interior hits saturate the
+        # Silhouette coordinate in WORLD units: edge = |r| - b, where b is
+        # the ray-line-to-center distance (b^2 = |co|^2 - nb^2 =
+        # c + rsq - nb^2). Positive inside, 0 at the silhouette, LINEAR in
+        # the impact parameter with unit slope — the sigmoid band then has a
+        # constant Jacobian, so the relaxation's gradient matches the hard
+        # render's silhouette derivative up to O(soft_eps) curvature terms.
+        # Two rejected alternatives, both measured: disc/|r^2| is quadratic
+        # in b (Jacobian varies ~3x across the band -> relaxed gradient
+        # ~0.5x the true one), and the scale-free 1 - b/|r| gives an r=100
+        # ground sphere a band HUNDREDS of world units wide — most visible
+        # ground pixels branched stochastically, drowning every fit in
+        # silhouette noise. World units make soft_eps scene-scaled (RTiOW
+        # scene unit ~ the small spheres' r=0.5): the band is the same
+        # physical sliver on every sphere. Interior hits saturate the
         # sigmoid to 1 (exact render); the gradient d cover / d (center,
         # radius) at the edge is the silhouette-motion term.
-        disc_n = (nb_j * nb_j - c_j) / jnp.maximum(jnp.abs(rsq), 1e-20)
-        cover = jax.nn.sigmoid(disc_n * jnp.float32(1.0 / soft_eps))
+        b = jnp.sqrt(jnp.maximum(c_j + rsq - nb_j * nb_j, 1e-20))
+        edge = jnp.sqrt(jnp.maximum(rsq, 0.0)) - b
+        cover = jax.nn.sigmoid(edge * jnp.float32(1.0 / soft_eps))
+        # Far-exit point: where the pass-through branch resumes. t2 = nb + sq
+        # is the chord's far root for interior lanes and the closest-approach
+        # point (= t) for grazing lanes; from it, moving forward, this sphere
+        # is behind the ray, so the next intersection finds what is really
+        # occluded — no leak-to-sky proxy.
+        t2 = nb_j + sq_j
+        px2 = ox + t2 * dx
+        py2 = oy + t2 * dy
+        pz2 = oz + t2 * dz
 
     px = ox + t * dx
     py = oy + t * dy
@@ -172,10 +277,21 @@ def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
     nx = (px - cx) * inv_r
     ny = (py - cy) * inv_r
     nz = (pz - cz) * inv_r
+    if soft_eps:
+        # Near-miss lanes sit at the closest-approach point, |p - c| =
+        # r * (b/|r|) slightly OUTSIDE the sphere, so (p - c) / r is
+        # up to ~sqrt(1 + 9.2 * soft_eps) long; renormalize so the scatter
+        # math sees unit normals on both sides of the silhouette. Exact hits
+        # already have |n| = 1 — for them this is an (unfused-cost-only)
+        # identity, which keeps the soft path's interior shading equal to the
+        # hard renderer's.
+        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                            1e-20))
+        nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
 
     return HitRecord(
         hit=hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
         mat_type=jnp.take(spheres.mat_type, j),
         albedo_x=alb_x, albedo_y=alb_y, albedo_z=alb_z,
-        fuzz=fuzz, ref_idx=ref_idx, cover=cover,
+        fuzz=fuzz, ref_idx=ref_idx, cover=cover, px2=px2, py2=py2, pz2=pz2,
     )

@@ -87,8 +87,12 @@ def main():
 
     def grad_loss(p, pallas):
         c = cfg.replace(pallas_intersect=pallas)
-        return jax.value_and_grad(image_loss)(
-            p, scene.spheres, camera, target, c)[0]
+        loss, grads = jax.value_and_grad(image_loss)(
+            p, scene.spheres, camera, target, c)
+        # Fold the gradients into the returned scalar: returning only the
+        # value lets XLA dead-code-eliminate the whole backward pass (it DID
+        # — an earlier revision measured grad == forward to 0.1 ms).
+        return loss + sum(jnp.sum(g) for g in grads.values())
 
     cases = [
         ("fwd-megakernel", fwd_mega),
