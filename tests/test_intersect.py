@@ -124,3 +124,46 @@ def test_closest_of_two():
     prep = _build([(0, 0, -5), (0, 0, -3)], [0.5, 0.5])
     rec = _hit(prep, (0, 0, 0), (0, 0, -1))
     assert np.isclose(float(rec.t[0]), 2.5, atol=1e-5)
+
+
+def test_soft_near_miss_promotion():
+    """Two-sided soft silhouette (render/intersect._near_miss_index): a ray
+    passing just OUTSIDE a sphere's silhouette is promoted to a soft hit of
+    that sphere — at the closest-approach point, with cover < 1/2 — even
+    when it hits other geometry BEHIND the graze; a ray grazing a sphere
+    BEHIND its hit is not."""
+    eps = 0.01
+    # Sphere A at z=-2 (r=0.5), big backstop B at z=-10 (r=2).
+    prep = _build([(0, 0, -2), (0, 0, -10)], [0.5, 2.0])
+
+    def soft_hit(oy):
+        rec = closest_hit(jnp.float32([0]), jnp.float32([oy]), jnp.float32([0]),
+                          jnp.float32([0]), jnp.float32([0]), jnp.float32([-1]),
+                          prep, T_MIN, T_MAX, soft_eps=eps)
+        return rec
+
+    # Ray at y = 0.5 + 2*eps: misses A by 2*eps (inside the 9.2*eps band),
+    # would hit B. Promoted to a soft graze of A at t = nb = 2 (closest
+    # approach), cover = sigmoid(-2) ~ 0.12, pass-through point ahead of A.
+    rec = soft_hit(0.5 + 2 * eps)
+    assert bool(rec.hit[0])
+    assert np.isclose(float(rec.t[0]), 2.0, atol=1e-4)
+    c = float(rec.cover[0])
+    assert 0.05 < c < 0.5, c
+    assert np.isclose(float(rec.pz2[0]), -2.0, atol=1e-3)
+    # Normal is renormalized to unit length even at the graze point.
+    nlen = float(rec.nx[0]**2 + rec.ny[0]**2 + rec.nz[0]**2)
+    assert np.isclose(nlen, 1.0, atol=1e-5)
+
+    # Ray at y = 0.5 + 20*eps: outside the band -> plain hit of B.
+    rec = soft_hit(0.5 + 20 * eps)
+    assert bool(rec.hit[0])
+    assert float(rec.t[0]) > 7.0
+    assert float(rec.cover[0]) > 0.99  # saturated interior hit of B
+
+    # Ray through A's interior: hits A, cover saturates to 1 (exact render)
+    # and the far-exit point is A's back surface.
+    rec = soft_hit(0.0)
+    assert np.isclose(float(rec.t[0]), 1.5, atol=1e-5)
+    assert float(rec.cover[0]) > 0.999
+    assert np.isclose(float(rec.pz2[0]), -2.5, atol=1e-4)
