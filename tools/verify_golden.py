@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--tol-max", type=float, default=3.5)
     ap.add_argument("--save", action="store_true",
                     help="write our renders to out_full_<scene>.tga")
+    ap.add_argument("--respawn", action="store_true",
+                    help="render through the persistent-lane sample-respawn "
+                         "engine (the production default) instead of the "
+                         "one-shot megakernel")
     args = ap.parse_args()
 
     from rays1bench_tpu.core.cache import enable
@@ -104,7 +108,8 @@ def main():
     for name in args.scenes.split(","):
         scene = builders.SCENES[name](cfg.aspect)
         img, _ = render_image_pallas(scene.spheres, scene.camera.build(),
-                                     cfg, n_real=scene.n_real)
+                                     cfg, n_real=scene.n_real,
+                                     respawn=args.respawn)
         ours = np.asarray(to_srgb_u8(img)).astype(np.float64)
         if args.save:
             tga.write_rgb24(f"out_full_{name}.tga", np.asarray(
