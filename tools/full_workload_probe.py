@@ -8,6 +8,12 @@ but at 250 spp consecutive rays are samples of the SAME pixel, so row
 (128-ray) death is far more coherent, and the 50-bounce tail multiplies the
 dead-lane waste of the one-shot kernel (whole-tile early exit only).
 
+OUTCOME (round 3, 2026-08-20): the question this probe asks was settled the
+other way — per-lane sample respawn (tools/respawn_probe.py,
+megakernel._respawn_kernel) beats every wavefront schedule 3.5x+ at deep
+bounce budgets (102.5 vs 28.9 mrays/s at 25 spp/50 b) and is the production
+engine; see PARITY.md. Kept for one-shot/wavefront scheduling studies.
+
 Usage: python tools/full_workload_probe.py [--scene large] [--spp 250]
            [--schedules "one-shot;2,3,6;2,3,6,12"]
 """
