@@ -141,9 +141,12 @@ def build_subs(dirs, scenes, include_reference=True,
                grad_path="records/grad/steps.txt",
                scaling_path="records/scaling/sweep.txt") -> dict:
     """All template placeholders, from records only (no hand data):
-    __RESULTS_<SCENE>__ (headline workload), __RESULTS_FULL_<SCENE>__
-    (250 spp @ 50 bounces), __RESULTS_GRAD__, __RESULTS_HEADLINE__ (README
-    summary table)."""
+    __RESULTS_<SCENE>__ (10-bounce workload ladder tables),
+    __RESULTS_FULL_<SCENE>__ (250 spp @ 50 bounces ladder tables),
+    __RESULTS_GRAD__, __RESULTS_SCALING__, and __RESULTS_HEADLINE_FULL__
+    (the README summary: OUR full-workload records against the reference's
+    published step13 rows — the SAME workload on both sides; there is
+    deliberately no cross-workload summary table)."""
     subs = {f"__RESULTS_{s.upper()}__": scene_table(dirs, s,
                                                     include_reference)
             for s in scenes}
@@ -152,9 +155,7 @@ def build_subs(dirs, scenes, include_reference=True,
             list(full_dirs), s, include_reference)
     subs["__RESULTS_GRAD__"] = grad_table(grad_path)
     subs["__RESULTS_SCALING__"] = scaling_table(scaling_path)
-    subs["__RESULTS_HEADLINE__"] = headline_table(dirs, scenes)
-    # Same summary shape at the reference's own full workload; only OUR
-    # records (last dir) — the ref rows are the ratio denominator already.
+    # Only OUR records (last dir) — the ref rows are the ratio denominator.
     subs["__RESULTS_HEADLINE_FULL__"] = headline_table(list(full_dirs)[-1:],
                                                        scenes)
     return subs
