@@ -109,16 +109,19 @@ def _cam_from_smem(cam_smem):
 
 def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
                     t_min: float, sub: int, unroll: int, chunk_size: int,
-                    use_cull: bool, best_ref):
+                    use_cull: bool, best_ref, carry_index: bool = False):
     """Build the closest-hit sweep closure over the sphere SMEM refs.
 
     Shared by every megakernel variant (_kernel, _phase_kernel,
     _respawn_kernel). Returns isect(ox..dz) -> (best_t, cx, cy, cz, inv_r,
-    albedo_packed, mat_packed). `best_ref` is the VMEM scratch holding the
-    running closest-hit payload for the culled variant (Mosaic's scf.if
-    cannot yield vectors)."""
+    albedo_packed, mat_packed[, idx]). `best_ref` is the VMEM scratch holding
+    the running closest-hit payload for the culled variant (Mosaic's scf.if
+    cannot yield vectors). carry_index adds the winning sphere's SMEM row
+    index as an 8th f32 carry (one extra select per sphere) — the topology
+    the megakernel-forward gradient path emits (kernels/grad_mega.py)."""
     zero = jnp.zeros((sub, LANES), jnp.float32)
     tmin_c = np.float32(t_min)
+    ncarry = 8 if carry_index else 7
 
     def make_sphere_step(ox, oy, oz, dx, dy, dz):
         """Per-sphere running (best_t, payload) update, ~26 VPU ops over the
@@ -127,7 +130,7 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
         sphere can never win `better` — no validity mask, no clamp, no
         poison select."""
         def one_sphere(s, carry):
-            (bt, cx, cy, cz, ivr, alb, mtp) = carry
+            (bt, cx, cy, cz, ivr, alb, mtp) = carry[:7]
             scx = spheres_smem[_CX, s]
             scy = spheres_smem[_CY, s]
             scz = spheres_smem[_CZ, s]
@@ -151,10 +154,15 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
             ivr = jnp.where(better, spheres_smem[_INVR, s], ivr)
             alb = jnp.where(better, spheres_smem[_ALB, s], alb)
             mtp = jnp.where(better, spheres_smem[_MTP, s], mtp)
-            return (bt, cx, cy, cz, ivr, alb, mtp)
+            out = (bt, cx, cy, cz, ivr, alb, mtp)
+            if carry_index:
+                # Exact in f32 (sphere counts are << 2^24).
+                s_f = jax.lax.convert_element_type(s, jnp.float32)
+                out += (jnp.where(better, s_f, carry[7]),)
+            return out
         return one_sphere
 
-    _INIT = lambda: (zero + _INF, zero, zero, zero, zero, zero, zero)
+    _INIT = lambda: (zero + _INF,) + (zero,) * (ncarry - 1)
 
     def intersect(ox, oy, oz, dx, dy, dz):
         """Dense sweep over all spheres (no culling).
@@ -185,7 +193,7 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
         skip (rayweek1.cpp:291)."""
         one_sphere = make_sphere_step(ox, oy, oz, dx, dy, dz)
         init = _INIT()
-        for i in range(7):
+        for i in range(ncarry):
             best_ref[i] = init[i]
 
         num_chunks = num_spheres // chunk_size
@@ -210,7 +218,7 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
 
             @pl.when(any_p > 0)
             def _():
-                carry = tuple(best_ref[i] for i in range(7))
+                carry = tuple(best_ref[i] for i in range(ncarry))
 
                 def group(g, carry):
                     s0 = ch * chunk_size + g * cun
@@ -219,13 +227,13 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
                     return carry
 
                 carry = jax.lax.fori_loop(0, chunk_size // cun, group, carry)
-                for i in range(7):
+                for i in range(ncarry):
                     best_ref[i] = carry[i]
 
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-        return tuple(best_ref[i] for i in range(7))
+        return tuple(best_ref[i] for i in range(ncarry))
 
     return intersect_culled if use_cull else intersect
 
@@ -233,8 +241,10 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
 def _closest_hit_record(best, ox, oy, oz, dx, dy, dz):
     """Unpack the running-min sweep's packed payload into a HitRecord
     (amortized: once per bounce, not per sphere). `best` is the isect()
-    result tuple (best_t, cx, cy, cz, inv_r, albedo_packed, mat_packed)."""
-    (bt, cx, cy, cz, ivr, albp, mtp) = best
+    result tuple (best_t, cx, cy, cz, inv_r, albedo_packed, mat_packed); a
+    trailing carry_index element, if present, is ignored here (the caller
+    reads it directly)."""
+    (bt, cx, cy, cz, ivr, albp, mtp) = best[:7]
     hit = bt < _BIG
     t = jnp.where(hit, bt, 1.0)
     px = ox + t * dx
@@ -263,23 +273,32 @@ def _closest_hit_record(best, ox, oy, oz, dx, dy, dz):
 
 def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
                  max_bounces: int, t_min: float, seed: int, sub: int,
-                 unroll: int, chunk_size: int, use_cull: bool, best_ref):
+                 unroll: int, chunk_size: int, use_cull: bool, best_ref,
+                 topo_ref=None):
     """Build the per-bounce wavefront update closure over the sphere SMEM refs.
 
     Shared by the one-shot megakernel (_kernel) and the resumable phase kernel
-    (_phase_kernel)."""
+    (_phase_kernel). With `topo_ref` (VMEM (max_bounces+1, sub, LANES) i32),
+    each bounce writes its per-lane hit topology plane: the winning sphere's
+    row index for live hit lanes, -1 otherwise — consumed by the
+    megakernel-forward gradient replay (kernels/grad_mega.py)."""
     seed_c = np.uint32(seed)
     isect = _make_intersect(spheres_smem, bounds_smem,
                             num_spheres=num_spheres, t_min=t_min, sub=sub,
                             unroll=unroll, chunk_size=chunk_size,
-                            use_cull=use_cull, best_ref=best_ref)
+                            use_cull=use_cull, best_ref=best_ref,
+                            carry_index=topo_ref is not None)
 
     def bounce(state):
         (b, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive, cnt) = state
         cnt = cnt + alive.astype(jnp.int32)
 
+        best = isect(ox, oy, oz, dx, dy, dz)
         hit, px, py, pz, rec = _closest_hit_record(
-            isect(ox, oy, oz, dx, dy, dz), ox, oy, oz, dx, dy, dz)
+            best, ox, oy, oz, dx, dy, dz)
+        if topo_ref is not None:
+            plane = jnp.where(alive & hit, best[7].astype(jnp.int32), -1)
+            topo_ref[pl.ds(b, 1)] = plane[None]
 
         # Miss -> sky accumulation (rayweek1.cpp:530-534).
         skr, skg, skb = sky_color(dx, dy, dz)
@@ -325,8 +344,14 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
             rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *refs, num_spheres: int,
             max_bounces: int, t_min: float, seed: int, n_rays: int,
             tile_rays: int, sub: int, unroll: int, chunk_size: int,
-            use_cull: bool, sync_every: int = 1, debug_iters: bool = False):
-    iters_ref = refs[0] if debug_iters else None
+            use_cull: bool, sync_every: int = 1, debug_iters: bool = False,
+            emit_topology: bool = False):
+    k = 0
+    topo_ref = None
+    if emit_topology:
+        topo_ref = refs[0]
+        k = 1
+    iters_ref = refs[k] if debug_iters else None
     # True global ray ids (arbitrary order — the caller may permute rays for
     # spatial coherence; ids >= n_rays mark padding lanes).
     ray_id = rid_ref[...]
@@ -341,13 +366,17 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
             spheres_smem, bounds_smem, ray_id, num_spheres=num_spheres,
             max_bounces=max_bounces, t_min=t_min, seed=seed, sub=sub,
             unroll=unroll, chunk_size=chunk_size, use_cull=use_cull,
-            best_ref=best_ref)
+            best_ref=best_ref, topo_ref=topo_ref)
         write_state, read_state = _state_io(st_ref)
 
         write_state((jnp.int32(0), ox_ref[...], oy_ref[...], oz_ref[...],
                      dx_ref[...], dy_ref[...], dz_ref[...],
                      one, one, one, zero, zero, zero, alive0))
         cnt_ref[...] = jnp.zeros((sub, LANES), jnp.int32)
+        if topo_ref is not None:
+            # Bounces past a tile's early exit keep the "no hit" marker.
+            topo_ref[...] = jnp.full((max_bounces + 1, sub, LANES), -1,
+                                     jnp.int32)
 
         def body(carry):
             # `sync_every` bounces per early-exit check: the vector->scalar
@@ -375,7 +404,8 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         rb_ref[...] = final[12]
 
     pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32),
-                  pltpu.VMEM((7, sub, LANES), jnp.float32))
+                  pltpu.VMEM((8 if emit_topology else 7, sub, LANES),
+                             jnp.float32))
 
 
 def _respawn_kernel(sspan_smem, spheres_smem, cam_smem, bounds_smem, pid_ref,
@@ -598,12 +628,13 @@ def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
                                     "chunk_size", "sync_every", "interpret",
-                                    "debug_iters", "n_rays"))
+                                    "debug_iters", "n_rays",
+                                    "emit_topology"))
 def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                  cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
                  bounds=None, chunk_size: int = 32, sync_every: int = 1,
                  interpret: bool = False, debug_iters: bool = False,
-                 n_rays: int = 0
+                 n_rays: int = 0, emit_topology: bool = False
                  ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Trace N primary rays through the megakernel.
 
@@ -618,7 +649,12 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     `bounds` (float32[4, S/chunk_size], from kernels.culling.chunk_bounds over
     Morton-sorted spheres) enables chunk culling; spheres must already be in
     the sorted order the bounds were computed for.
+
+    `emit_topology`: additionally return topo int32[max_bounces+1, N] in
+    SLOT order — each bounce's winning sphere row index for live hit lanes,
+    -1 otherwise (megakernel-forward gradients, kernels/grad_mega.py).
     """
+    assert not (emit_topology and debug_iters)
     n = ox.shape[0]
     assert n % tile_rays == 0, (n, tile_rays)
     sub = tile_rays // LANES
@@ -648,6 +684,7 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         use_cull=use_cull,
         sync_every=sync_every,
         debug_iters=debug_iters,
+        emit_topology=emit_topology,
     )
     out_specs = [
         ray_spec, ray_spec, ray_spec,
@@ -660,6 +697,12 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         jax.ShapeDtypeStruct(shape2, jnp.float32),
         jax.ShapeDtypeStruct(shape2, jnp.int32),
     ]
+    nb1 = cfg.max_bounces + 1
+    if emit_topology:
+        out_specs.append(pl.BlockSpec((nb1, sub, LANES),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nb1,) + shape2, jnp.int32))
     if debug_iters:
         out_specs.append(pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -684,6 +727,8 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
 
     res = (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
         jnp.sum(cnt).astype(jnp.uint32)
+    if emit_topology:
+        return res + (outs[4].reshape(nb1, n),)
     if debug_iters:
         # (per-tile while iterations, per-ray live-bounce count in slot order)
         return res + (outs[4].reshape(num_tiles, tile_rays)[:, 0],

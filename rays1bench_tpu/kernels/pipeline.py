@@ -332,3 +332,64 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
     image = rad.mean(axis=2)
     return image, num_rays
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_rays", "unroll",
+                                    "sync_every", "interpret"))
+def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
+                                 cfg: RenderConfig, tile_rays: int = 2048,
+                                 unroll: int = 0, sync_every: int = 0,
+                                 interpret: bool = False):
+    """Megakernel forward that ALSO returns the per-bounce hit topology.
+
+    Returns (image f32[H, W, 3], num_rays uint32,
+    topology int32[max_bounces+1, num_primary_rays] in RAY-ID order — each
+    bounce's winning sphere row for live hit lanes, -1 otherwise). This is
+    the forward half of the megakernel-forward gradient path (grad/mega.py):
+    the fused kernel does all the intersection work once, the differentiable
+    replay (render_image(topology=...)) rebuilds the autodiff graph from the
+    indices without any sweep.
+
+    cull="none" BY DESIGN: topology indices must be raw SoA row indices so
+    replay cotangents land on the right rows — pass tightly padded scenes
+    (builders' pad_multiple=8) rather than relying on sort_trim."""
+    spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, "none",
+                                              64, None)
+    if sync_every <= 0:
+        sync_every = 1 if spheres.count > 128 else 3
+    n = cfg.num_primary_rays
+    nb1 = cfg.max_bounces + 1
+
+    ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
+        cfg.width, cfg.height, cfg.spp, tile_rays)
+    ray_id, x, y = _tile_coords(cfg, (gy, gx, th, tw), len(ids_np))
+
+    seed = jnp.uint32(cfg.seed)
+    ju, jv = rng_mod.pixel_jitter(seed, ray_id)
+    s = (x + ju) * jnp.float32(1.0 / cfg.width)
+    t = (y + jv) * jnp.float32(1.0 / cfg.height)
+    ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
+
+    (rr, rg, rb), num_rays, topo = trace_pallas(
+        spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg, tile_rays=tile_rays,
+        unroll=unroll, bounds=bounds, sync_every=sync_every,
+        interpret=interpret, emit_topology=True)
+
+    def unpermute(a):
+        if inv_np is None:
+            return a.reshape(gy, gx, th, tw, cfg.spp).transpose(
+                0, 2, 1, 3, 4).reshape(cfg.height, cfg.width, cfg.spp)
+        inv = _slot_of_id(cfg, (gy, gx, th, tw))
+        return jnp.take(a, inv).reshape(cfg.height, cfg.width, cfg.spp)
+
+    rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
+    image = rad.mean(axis=2)
+
+    if inv_np is None:
+        topo_ray = topo.reshape(nb1, gy, gx, th, tw, cfg.spp).transpose(
+            0, 1, 3, 2, 4, 5).reshape(nb1, -1)[:, :n]
+    else:
+        inv = _slot_of_id(cfg, (gy, gx, th, tw))
+        topo_ray = jnp.take(topo, inv, axis=1)
+    return image, num_rays, topo_ray

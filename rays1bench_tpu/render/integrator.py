@@ -52,7 +52,8 @@ def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
         rec = closest_hit(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max,
                           soft_eps=soft_eps)
     else:
-        rec = intersector(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max)
+        rec = intersector(ox, oy, oz, dx, dy, dz, spheres, t_min, t_max,
+                          bounce)
 
     # Miss -> accumulate attenuated sky, lane dies.
     skr, skg, skb = sky_color(dx, dy, dz)
@@ -118,7 +119,7 @@ def _bounce_step(state, spheres: PreparedSpheres, seed, ray_id,
 def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
           max_bounces: int = 50, t_min: float = 1e-3, t_max: float = 3.4e38,
           early_exit: bool = True, active=None, intersector=None,
-          remat: bool = False, soft_eps: float = 0.0):
+          remat: bool = False, soft_eps: float = 0.0, topology=None):
     """Trace a wavefront of N primary rays to completion.
 
     `active` optionally masks out padding lanes (bool[N]); inactive lanes are
@@ -130,9 +131,34 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
     caller turns it on when chunked lax.map would STACK those residuals
     across chunks (render/pipeline.py).
 
+    `topology` = (idx int32[max_bounces+1, N], hit bool[max_bounces+1, N]):
+    REPLAY mode — skip intersection sweeps entirely and rebuild each
+    bounce's differentiable hit record from the given per-bounce winning
+    indices (render/intersect.hit_record_from_index). This is the gradient
+    half of the megakernel-forward design (kernels/grad_mega.py): the
+    megakernel's fused forward emits the topology, this replay carries the
+    gradients — the whole O(N*S) sweep never appears in the autodiff graph.
+    Fixed-trip only (early_exit must be False); overrides `intersector`.
+
     Returns ((rr, rg, rb), num_rays): per-ray linear radiance and the number
     of rays traced (uint32; counts bounces, reference metric).
     """
+    if topology is not None:
+        assert not early_exit, "replay mode is fixed-trip (AD path)"
+        from rays1bench_tpu.render.intersect import hit_record_from_index
+        topo_idx, topo_hit = topology
+        tmin_static = float(t_min)
+
+        def intersector(ox_, oy_, oz_, dx_, dy_, dz_, sph, tmin_, tmax_,
+                        bounce):
+            del tmin_, tmax_
+            idx = jax.lax.dynamic_index_in_dim(topo_idx, bounce, axis=0,
+                                               keepdims=False)
+            hit = jax.lax.dynamic_index_in_dim(topo_hit, bounce, axis=0,
+                                               keepdims=False)
+            return hit_record_from_index(ox_, oy_, oz_, dx_, dy_, dz_, sph,
+                                         idx, hit, tmin_static,
+                                         soft_eps=soft_eps)
     # Initial carries derive from ox (not fresh constants) so that under
     # shard_map they inherit the rays axis's "varying" type and the loop
     # carry types stay consistent.

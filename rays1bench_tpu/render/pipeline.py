@@ -38,12 +38,17 @@ from rays1bench_tpu.scene.spheres import prepare
 
 
 def _trace_chunk(spheres, camera: Camera, ray_id, active, seed,
-                 cfg: RenderConfig, remat: bool = False):
+                 cfg: RenderConfig, remat: bool = False, topology=None):
     """Generate and trace one chunk of primary rays by global ray id.
 
     remat: rematerialize bounce bodies in the backward (integrator.trace) —
     the caller sets it when multiple chunks would stack their per-bounce
-    residuals under lax.map."""
+    residuals under lax.map.
+
+    topology: optional (idx int32[B+1, chunk], hit bool[B+1, chunk]) — REPLAY
+    mode (integrator.trace): no intersection sweep at all, every bounce's hit
+    record is rebuilt from the given indices. The megakernel-forward gradient
+    path (grad/mega.py) supplies these from the fused forward."""
     spp = jnp.int32(cfg.spp)
     pixel = ray_id // spp
     x = (pixel % jnp.int32(cfg.width)).astype(jnp.float32)
@@ -56,7 +61,7 @@ def _trace_chunk(spheres, camera: Camera, ray_id, active, seed,
 
     ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
     intersector = None
-    if cfg.pallas_intersect:
+    if cfg.pallas_intersect and topology is None:
         import jax as _jax
         from rays1bench_tpu.render.intersect import hit_record_from_index
         from rays1bench_tpu.kernels.intersect_pallas import closest_hit_index
@@ -65,8 +70,9 @@ def _trace_chunk(spheres, camera: Camera, ray_id, active, seed,
         tmin_static = float(cfg.t_min)  # custom_vjp nondiff arg: no tracers
         soft_eps = float(cfg.soft_silhouette)
 
-        def intersector(ox_, oy_, oz_, dx_, dy_, dz_, sph, tmin, tmax):
-            del tmin, tmax  # traced copies; the static value is equivalent
+        def intersector(ox_, oy_, oz_, dx_, dy_, dz_, sph, tmin, tmax,
+                        bounce):
+            del tmin, tmax, bounce  # traced copies / unused here
             idx, hit = closest_hit_index(sph, ox_, oy_, oz_, dx_, dy_, dz_,
                                          tmin_static, 2048, interp)
             # Named for the grad path's remat policy (render/integrator.py):
@@ -82,13 +88,13 @@ def _trace_chunk(spheres, camera: Camera, ray_id, active, seed,
         spheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
         max_bounces=cfg.max_bounces, t_min=cfg.t_min, t_max=cfg.t_max,
         early_exit=cfg.early_exit, active=active, intersector=intersector,
-        remat=remat, soft_eps=float(cfg.soft_silhouette))
+        remat=remat, soft_eps=float(cfg.soft_silhouette), topology=topology)
     return rr, rg, rb, num_rays
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def render_image(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig
-                 ) -> Tuple[jax.Array, jax.Array]:
+def render_image(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
+                 topology=None) -> Tuple[jax.Array, jax.Array]:
     """Render a linear-radiance float image.
 
     Returns:
@@ -97,7 +103,13 @@ def render_image(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig
       num_rays: uint32 total rays traced (reference metric, counts bounces).
 
     Differentiable w.r.t. the SphereSOA leaves when cfg.early_exit is False.
-    """
+
+    topology: optional int32[max_bounces+1, num_primary_rays] per-bounce hit
+    topology in ray-id order (winning raw SoA row for live hit lanes, -1
+    otherwise) — REPLAY mode: every bounce's hit record is rebuilt from the
+    given indices, no intersection sweep runs (integrator.trace). Requires
+    cfg.early_exit=False; sphere indices refer to the UNTRIMMED SoA rows, so
+    the caller must not depend on sort_trim permutations (grad/mega.py)."""
     spheres = prepare(spheres_soa)
     n = cfg.num_primary_rays
     chunk = min(cfg.ray_chunk, _round_up(n, 1024))
@@ -111,12 +123,27 @@ def render_image(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig
     # tools/grad_bench.py).
     remat = num_chunks > 1
 
-    def body(ray_id):
-        active = ray_id < n
-        return _trace_chunk(spheres, camera, ray_id, active, seed, cfg,
-                            remat=remat)
+    if topology is None:
+        def body(ray_id):
+            active = ray_id < n
+            return _trace_chunk(spheres, camera, ray_id, active, seed, cfg,
+                                remat=remat)
 
-    rr, rg, rb, counts = jax.lax.map(body, ids)
+        rr, rg, rb, counts = jax.lax.map(body, ids)
+    else:
+        nb1 = cfg.max_bounces + 1
+        topo = jnp.full((nb1, padded), -1, jnp.int32).at[:, :n].set(topology)
+        # (B+1, padded) -> per-chunk xs (num_chunks, B+1, chunk).
+        topo = jnp.moveaxis(topo.reshape(nb1, num_chunks, chunk), 1, 0)
+
+        def body(args):
+            ray_id, topo_c = args
+            active = ray_id < n
+            return _trace_chunk(spheres, camera, ray_id, active, seed, cfg,
+                                remat=remat,
+                                topology=(topo_c, topo_c >= 0))
+
+        rr, rg, rb, counts = jax.lax.map(body, (ids, topo))
 
     rad = jnp.stack([rr.reshape(-1)[:n], rg.reshape(-1)[:n],
                      rb.reshape(-1)[:n]], axis=-1)

@@ -288,3 +288,52 @@ def test_grad_zero_for_invisible_param():
         assert arr[2:].sum() == 0, f"{name} padding rows got gradient"
     # The visible sphere's albedo must receive gradient (it is lit).
     assert abs(float(np.asarray(g["albedo_x"])[0])) > 0
+
+
+def test_mega_grad_matches_pipeline():
+    """Megakernel-forward gradients (grad/mega.py): the fused forward's
+    per-bounce hit topology replayed through render_image(topology=...) is
+    BITWISE the XLA pipeline's image in interpreter mode (identical math
+    library, full-precision albedos in the replay), and value_and_grad
+    through render_image_mega matches the pipeline gradient to ~0.2%
+    relative — the residual is the megakernel primal's documented 8-bit
+    albedo quantization entering the loss cotangent (megakernel docstring),
+    not a topology or replay error."""
+    from rays1bench_tpu.grad.mega import render_image_mega
+    from rays1bench_tpu.kernels.pipeline import render_image_pallas_topology
+    from rays1bench_tpu.render.pipeline import render_image
+
+    cfg = RenderConfig(width=64, height=32, spp=2, max_bounces=5, seed=7,
+                       early_exit=False, ray_chunk=2048)  # 2 chunks
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    camera = scene.camera.build()
+
+    img_x, n_x = render_image(scene.spheres, camera, cfg)
+    _, n_m, topo = render_image_pallas_topology(scene.spheres, camera, cfg,
+                                                interpret=True)
+    assert int(n_m) == int(n_x)
+    img_r, n_r = render_image(scene.spheres, camera, cfg, topology=topo)
+    assert int(n_r) == int(n_x)
+    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_x))
+
+    target = img_x * 0.9  # nonzero residual everywhere
+    names = ("center_x", "radius", "albedo_x")
+    params0 = params_of(scene.spheres, names)
+    params0["center_x"] = params0["center_x"].at[0].add(0.04)
+    params0["radius"] = params0["radius"].at[0].add(-0.02)
+
+    def loss_mega(p):
+        img, _ = render_image_mega(with_params(scene.spheres, p), camera,
+                                   cfg, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pipe(p):
+        img, _ = render_image(with_params(scene.spheres, p), camera, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    g_m = jax.grad(loss_mega)(params0)
+    g_p = jax.grad(loss_pipe)(params0)
+    for k in names:
+        a, b = np.asarray(g_m[k]), np.asarray(g_p[k])
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 0.01, (k, rel, a[:3], b[:3])

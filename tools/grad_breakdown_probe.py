@@ -94,12 +94,24 @@ def main():
         # — an earlier revision measured grad == forward to 0.1 ms).
         return loss + sum(jnp.sum(g) for g in grads.values())
 
+    def grad_mega(p):
+        from rays1bench_tpu.grad.mega import render_image_mega
+
+        def loss_fn(q):
+            img, _ = render_image_mega(with_params(scene.spheres, q), camera,
+                                       cfg)
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        return loss + sum(jnp.sum(g) for g in grads.values())
+
     cases = [
         ("fwd-megakernel", fwd_mega),
         ("fwd-fixed-xla", lambda p: fwd_fixed(p, False)),
         ("fwd-fixed-pl", lambda p: fwd_fixed(p, True)),
         ("grad-xla", lambda p: grad_loss(p, False)),
         ("grad-pl", lambda p: grad_loss(p, True)),
+        ("grad-mega", grad_mega),
     ]
     for name, fn in cases:
         if name in skip:
