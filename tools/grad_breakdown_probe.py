@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--scene", default="small")
     ap.add_argument("--skip", default="",
                     help="comma-separated case names to skip")
+    ap.add_argument("--ray-chunk", type=int, default=0,
+                    help="override cfg.ray_chunk (0 = default 131072); the "
+                         "chains' cost is launch/loop-overhead dominated, "
+                         "so chunking is a first-order knob")
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -65,7 +69,9 @@ def main():
     from rays1bench_tpu.scene import builders
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_bounces=10, early_exit=False)
+                       max_bounces=10, early_exit=False,
+                       **({"ray_chunk": args.ray_chunk}
+                          if args.ray_chunk else {}))
     build = getattr(builders, f"create_{args.scene}_scene")
     scene = build(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
