@@ -38,22 +38,43 @@ from rays1bench_tpu.scene.spheres import PreparedSpheres
 _BIG = jnp.float32(3.0e38)
 
 
+# Below this sphere-row count the per-lane column lookup runs as a dense
+# select sweep instead of an XLA gather: TPU gathers serialize per element
+# (measured 10.3 ms vs 1.3 ms for the sweep at N=3.7M, S=8 — the gather was
+# ~2/3 of the whole fixed-trip gradient forward). The sweep costs S
+# compare+selects per column, so past a few dozen rows the gather wins back.
+_SWEEP_MAX_S = 64
+
+
+def _lookup_cols(cols, j):
+    """cols[:, j] — as a dense select sweep for small S (see _SWEEP_MAX_S)."""
+    s_count = cols.shape[1]
+    if s_count > _SWEEP_MAX_S:
+        return cols[:, j]
+    out = jnp.broadcast_to(cols[:, 0:1], (cols.shape[0], j.shape[0]))
+    for s in range(1, s_count):
+        out = jnp.where(j[None, :] == s, cols[:, s:s + 1], out)
+    return out
+
+
 @jax.custom_vjp
 def take_cols(cols, j):
     """Gather sphere columns by per-ray winning index: (C, S), int[N] -> (C, N).
 
-    Same value as cols[:, j]. The custom VJP replaces the gather's transpose
-    — a scatter-add of N per-ray cotangents into S sphere slots, which XLA
-    serializes on TPU (measured ~0.9 ms per column per bounce at N=80K) —
-    with a dense one-hot contraction sum_n ct[c, n] * (j[n] == s): one
-    (C, N) x (N, S) reduction for ALL columns, fused by XLA, no scatter.
-    This is the gradient-side twin of the forward's dense-masked redesign of
-    the reference's compaction loop (rayweek1.cpp:205-226)."""
-    return cols[:, j]
+    Same value as cols[:, j], but BOTH directions avoid TPU's serialized
+    per-element addressing: the forward runs as a dense select sweep for
+    small sphere counts (_lookup_cols; 7.9x the gather's speed at the grad
+    scenes' S=8), and the custom VJP replaces the gather's transpose — a
+    scatter-add of N per-ray cotangents into S sphere slots — with a dense
+    one-hot contraction sum_n ct[c, n] * (j[n] == s): one (C, N) x (N, S)
+    reduction for ALL columns, fused by XLA, no scatter. This is the
+    gradient-side twin of the forward's dense-masked redesign of the
+    reference's compaction loop (rayweek1.cpp:205-226)."""
+    return _lookup_cols(cols, j)
 
 
 def _take_cols_fwd(cols, j):
-    return cols[:, j], (j, cols.shape[1])
+    return _lookup_cols(cols, j), (j, cols.shape[1])
 
 
 def _take_cols_bwd(res, ct):
@@ -178,13 +199,14 @@ def _near_miss_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
         jnp.sqrt(jnp.maximum(co2 - nb * nb, 1e-20))
 
     # t of the CURRENT hit (+inf on miss lanes), recomputed from the winning
-    # index — cheap O(N) gathers, stop_gradient (topology only).
+    # index — cheap O(N) lookups, stop_gradient (topology only).
     j0 = sg(best)
-    g0x = jnp.take(cx, j0) - sg(ox)
-    g0y = jnp.take(cy, j0) - sg(oy)
-    g0z = jnp.take(cz, j0) - sg(oz)
+    c0x, c0y, c0z, rsq0 = _lookup_cols(jnp.stack([cx, cy, cz, rsq]), j0)
+    g0x = c0x - sg(ox)
+    g0y = c0y - sg(oy)
+    g0z = c0z - sg(oz)
     nb0 = g0x * sg(dx) + g0y * sg(dy) + g0z * sg(dz)
-    c0 = g0x * g0x + g0y * g0y + g0z * g0z - jnp.take(rsq, j0)
+    c0 = g0x * g0x + g0y * g0y + g0z * g0z - rsq0
     sq0 = safe_sqrt(nb0 * nb0 - c0)
     t10 = nb0 - sq0
     t_hit = jnp.where(hit, jnp.where(t10 > t_min, t10, nb0 + sq0), _BIG)
@@ -224,11 +246,16 @@ def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
                                         hit, best, t_min, soft_eps)
         j = jnp.where(near, j_near, j)
         hit = hit | near
-    (cx, cy, cz, rsq, inv_r, alb_x, alb_y, alb_z, fuzz, ref_idx) = take_cols(
+    # mat_type rides the f32 stack (codes 0..2, exact) — one lookup for all
+    # columns instead of a separate integer gather.
+    (cx, cy, cz, rsq, inv_r, alb_x, alb_y, alb_z, fuzz, ref_idx,
+     mt_f) = take_cols(
         jnp.stack([spheres.center_x, spheres.center_y, spheres.center_z,
                    spheres.radius_sq, spheres.inv_radius, spheres.albedo_x,
                    spheres.albedo_y, spheres.albedo_z, spheres.fuzz,
-                   spheres.ref_idx]), j)
+                   spheres.ref_idx,
+                   spheres.mat_type.astype(jnp.float32)]), j)
+    mat_type = jax.lax.stop_gradient(mt_f).astype(jnp.int32)
 
     gx, gy, gz = cx - ox, cy - oy, cz - oz
     nb_j = gx * dx + gy * dy + gz * dz
@@ -291,7 +318,7 @@ def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
 
     return HitRecord(
         hit=hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
-        mat_type=jnp.take(spheres.mat_type, j),
+        mat_type=mat_type,
         albedo_x=alb_x, albedo_y=alb_y, albedo_z=alb_z,
         fuzz=fuzz, ref_idx=ref_idx, cover=cover, px2=px2, py2=py2, pz2=pz2,
     )
