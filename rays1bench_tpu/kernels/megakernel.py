@@ -298,7 +298,16 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
             best, ox, oy, oz, dx, dy, dz)
         if topo_ref is not None:
             plane = jnp.where(alive & hit, best[7].astype(jnp.int32), -1)
-            topo_ref[pl.ds(b, 1)] = plane[None]
+
+            # sync_every batching can overshoot to b = max_bounces + 1 (all
+            # lanes provably dead there — cont requires b < max_bounces).
+            # Unguarded, that write would CLAMP onto plane max_bounces and
+            # clobber the depth-capped lanes' real topology with -1, making
+            # the gradient replay add sky for paths that died black
+            # (regression: test_mega_grad_matches_pipeline's mb=3 case).
+            @pl.when(b <= max_bounces)
+            def _():
+                topo_ref[pl.ds(b, 1)] = plane[None]
 
         # Miss -> sky accumulation (rayweek1.cpp:530-534).
         skr, skg, skb = sky_color(dx, dy, dz)

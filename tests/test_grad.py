@@ -308,13 +308,20 @@ def test_mega_grad_matches_pipeline():
     scene = create_small_scene(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
 
-    img_x, n_x = render_image(scene.spheres, camera, cfg)
-    _, n_m, topo = render_image_pallas_topology(scene.spheres, camera, cfg,
-                                                interpret=True)
-    assert int(n_m) == int(n_x)
-    img_r, n_r = render_image(scene.spheres, camera, cfg, topology=topo)
-    assert int(n_r) == int(n_x)
-    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_x))
+    # max_bounces 5 and 3: with the small scene's sync_every=3, bounce 3's
+    # batches overshoot to b = max_bounces + 1 — regression for the
+    # out-of-bounds topology write that clamped onto the last plane and
+    # clobbered depth-capped lanes' topology (megakernel._make_bounce).
+    for mb in (3, 5):
+        c = cfg.replace(max_bounces=mb)
+        img_x, n_x = render_image(scene.spheres, camera, c)
+        _, n_m, topo = render_image_pallas_topology(scene.spheres, camera,
+                                                    c, interpret=True)
+        assert int(n_m) == int(n_x)
+        img_r, n_r = render_image(scene.spheres, camera, c, topology=topo)
+        assert int(n_r) == int(n_x)
+        np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_x))
+    # img_x/n_x now hold the mb=5 (== cfg) render for the gradient check.
 
     target = img_x * 0.9  # nonzero residual everywhere
     names = ("center_x", "radius", "albedo_x")
