@@ -118,7 +118,7 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
     the running closest-hit payload for the culled variant (Mosaic's scf.if
     cannot yield vectors). carry_index adds the winning sphere's SMEM row
     index as an 8th f32 carry (one extra select per sphere) — the topology
-    the megakernel-forward gradient path emits (kernels/grad_mega.py)."""
+    the megakernel-forward gradient path emits (grad/mega.py)."""
     zero = jnp.zeros((sub, LANES), jnp.float32)
     tmin_c = np.float32(t_min)
     ncarry = 8 if carry_index else 7
@@ -281,7 +281,7 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
     (_phase_kernel). With `topo_ref` (VMEM (max_bounces+1, sub, LANES) i32),
     each bounce writes its per-lane hit topology plane: the winning sphere's
     row index for live hit lanes, -1 otherwise — consumed by the
-    megakernel-forward gradient replay (kernels/grad_mega.py)."""
+    megakernel-forward gradient replay (grad/mega.py)."""
     seed_c = np.uint32(seed)
     isect = _make_intersect(spheres_smem, bounds_smem,
                             num_spheres=num_spheres, t_min=t_min, sub=sub,
@@ -661,7 +661,7 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
 
     `emit_topology`: additionally return topo int32[max_bounces+1, N] in
     SLOT order — each bounce's winning sphere row index for live hit lanes,
-    -1 otherwise (megakernel-forward gradients, kernels/grad_mega.py).
+    -1 otherwise (megakernel-forward gradients, grad/mega.py).
     """
     assert not (emit_topology and debug_iters)
     n = ox.shape[0]

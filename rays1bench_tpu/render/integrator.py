@@ -135,7 +135,7 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
     REPLAY mode — skip intersection sweeps entirely and rebuild each
     bounce's differentiable hit record from the given per-bounce winning
     indices (render/intersect.hit_record_from_index). This is the gradient
-    half of the megakernel-forward design (kernels/grad_mega.py): the
+    half of the megakernel-forward design (grad/mega.py): the
     megakernel's fused forward emits the topology, this replay carries the
     gradients — the whole O(N*S) sweep never appears in the autodiff graph.
     Fixed-trip only (early_exit must be False); overrides `intersector`.
