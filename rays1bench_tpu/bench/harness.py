@@ -63,6 +63,30 @@ def benchmark(scene, cfg: RenderConfig, num_runs: int = 1,
         dt = time.perf_counter() - t0
         results.append(BenchResult(dt, int(num_rays)))
 
+    _warn_if_dispatch_dominated(min(r.elapsed_seconds for r in results))
+    return _maybe_write_tga(write_tga, img, results)
+
+
+# One synchronous dispatch through this environment's TPU tunnel costs
+# ~29 ms regardless of kernel size (tools/dispatch_floor_probe.py). A
+# per-call benchmark whose frame time is within ~10x of that floor is
+# timing the tunnel, not the chip.
+_DISPATCH_FLOOR_S = 0.029
+
+
+def _warn_if_dispatch_dominated(best_seconds: float) -> None:
+    import sys
+    if jax.default_backend() == "cpu":
+        return
+    if best_seconds < 10 * _DISPATCH_FLOOR_S:
+        print(f"[bench] NOTE: frame time {best_seconds * 1e3:.0f} ms is "
+              f"within ~10x of the ~{_DISPATCH_FLOOR_S * 1e3:.0f} ms "
+              "per-dispatch floor; this measurement is dispatch-dominated. "
+              "Use benchmark_sustained / --sustained for chip throughput.",
+              file=sys.stderr)
+
+
+def _maybe_write_tga(write_tga, img, results):
     if write_tga:
         import numpy as np
         from rays1bench_tpu.runtime import native

@@ -100,8 +100,12 @@ def scaling_table(path) -> str:
             parts = line.strip().split("|")
             if len(parts) < 6 or not parts[0]:
                 continue
-            lines.append(f"| {parts[0]} | {parts[1]} | {float(parts[4]):.2f}"
-                         f" | {float(parts[5]):.0%} |")
+            try:
+                mrays, eff = float(parts[4]), float(parts[5])
+            except ValueError:
+                continue  # skip malformed rows, like the length guard above
+            lines.append(f"| {parts[0]} | {parts[1]} | {mrays:.2f}"
+                         f" | {eff:.0%} |")
     return "\n".join(lines)
 
 

@@ -37,7 +37,11 @@ def save(path: str, params: Dict, opt_state: Any, step: int) -> None:
 
 def restore(path: str, opt_state_like: Any) -> Tuple[Dict, Any, int]:
     """Load (params, opt_state, step); `opt_state_like` provides the pytree
-    structure to rebuild the optimizer state into."""
+    structure to rebuild the optimizer state into.
+
+    The stored treedef string must match `opt_state_like`'s: restoring into
+    a different optimizer would otherwise silently mis-zip leaves into the
+    wrong slots (e.g. Adam mu where nu belongs)."""
     data = np.load(path)
     params = {k[len("param::"):]: jax.numpy.asarray(data[k])
               for k in data.files if k.startswith("param::")}
@@ -46,5 +50,10 @@ def restore(path: str, opt_state_like: Any) -> Tuple[Dict, Any, int]:
                                   if k.startswith("opt::")
                                   and not k.endswith("treedef")]))]
     treedef = jax.tree_util.tree_structure(opt_state_like)
+    stored = bytes(data["opt::treedef"]).decode()
+    if stored != str(treedef):
+        raise ValueError(
+            f"checkpoint {path} was saved for a different optimizer state "
+            f"structure:\n  stored:   {stored}\n  restoring: {treedef}")
     opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return params, opt_state, int(data["step"])

@@ -44,8 +44,12 @@ from rays1bench_tpu.render.pipeline import render_image
 
 def _replay_cfg(cfg: RenderConfig) -> RenderConfig:
     """The replay is fixed-trip by construction and must not build the
-    Pallas index intersector (topology replaces it)."""
-    return cfg.replace(early_exit=False, pallas_intersect=False)
+    Pallas index intersector (topology replaces it). soft_silhouette is
+    stripped too — the megakernel forward renders the HARD estimator, so a
+    soft backward over its topology would differentiate a different
+    estimator than the primal (render_image_mega asserts it is off)."""
+    return cfg.replace(early_exit=False, pallas_intersect=False,
+                       soft_silhouette=0.0)
 
 
 @functools.lru_cache(maxsize=16)
@@ -87,4 +91,9 @@ def render_image_mega(spheres_soa, camera, cfg: RenderConfig,
     backward replays from recorded hit topology (see module docstring).
     cfg.early_exit is irrelevant (the megakernel always early-exits;
     gradients are defined by the fixed-topology replay)."""
+    assert not cfg.soft_silhouette, (
+        "render_image_mega is the HARD renderer: the megakernel forward "
+        "ignores cfg.soft_silhouette, so soft gradients here would belong "
+        "to a different estimator than the primal — use the XLA path "
+        "(grad/inverse.py) for silhouette fitting")
     return _make(cfg, interpret)(spheres_soa, camera)

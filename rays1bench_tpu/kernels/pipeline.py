@@ -145,6 +145,20 @@ def _slot_of_id(cfg: RenderConfig, geom):
             + x % tw) * spp + s
 
 
+def auto_sync_every(sphere_count: int, respawn: bool = False) -> int:
+    """Measured sync_every optimum, shared by every megakernel caller
+    (single-chip, topology, and sharded paths must agree — a diverging
+    heuristic silently changes the schedule under shard_map).
+
+    Respawn lanes desynchronize by design, so the tile-exit check only
+    fires near the end of a tile's sample budget — checking every 4th step
+    measured +1.2% at the full 250 spp / 50 bounce workload
+    (tools/respawn_probe.py --sync-every, 2026-08-20). For the one-shot /
+    wavefront kernels the vector->scalar alive reduction (~1 us) only
+    dominates when the sphere sweep is cheap (small scenes)."""
+    return 4 if respawn else (1 if sphere_count > 128 else 3)
+
+
 def prepare_trimmed(spheres_soa: SphereSOA, unroll: int, cull: str,
                     chunk_size: int, n_real: Optional[int]):
     """Morton-sort + placeholder-trim the SoA and resolve the auto unroll.
@@ -266,13 +280,7 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
                                               chunk_size, n_real)
     n = cfg.num_primary_rays
     if sync_every <= 0:
-        # Auto: exit checks are worth skipping when the sphere sweep is
-        # cheap relative to the ~1 us sync stall. Respawn lanes desynchronize
-        # by design, so its tile-exit check only fires near the very end of
-        # a tile's sample budget — checking every 4th step measured +1.2%
-        # at the full 250 spp/50 bounce workload (127.15 vs 125.7 mrays/s,
-        # tools/respawn_probe.py --sync-every, 2026-08-20).
-        sync_every = 4 if respawn else (1 if spheres.count > 128 else 3)
+        sync_every = auto_sync_every(spheres.count, respawn)
 
     if respawn:
         # Pixel-tile order with ONE LANE PER PIXEL: the respawn kernel owns
@@ -357,7 +365,7 @@ def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
     spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, "none",
                                               64, None)
     if sync_every <= 0:
-        sync_every = 1 if spheres.count > 128 else 3
+        sync_every = auto_sync_every(spheres.count)
     n = cfg.num_primary_rays
     nb1 = cfg.max_bounces + 1
 

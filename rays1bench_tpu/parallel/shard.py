@@ -120,7 +120,8 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                                    trace_pallas_respawn,
                                                    trace_pallas_wavefront)
     from rays1bench_tpu.kernels.pipeline import (_tile_order, _tile_coords,
-                                                 _slot_of_id, prepare_trimmed)
+                                                 _slot_of_id, prepare_trimmed,
+                                                 auto_sync_every)
     from rays1bench_tpu.core import rng as rng_mod
     import math
 
@@ -149,7 +150,7 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     per_dev = rows_per_dev * spp_loc
     seed = jnp.uint32(cfg.seed)
     if sync_every <= 0:
-        sync_every = 1 if spheres.count > 128 else 3
+        sync_every = auto_sync_every(spheres.count)
 
     use_cull = bounds is not None
 
@@ -224,7 +225,7 @@ def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
     the host side of the shard_map (sums are order-free)."""
     from rays1bench_tpu.kernels.megakernel import trace_pallas_respawn
     from rays1bench_tpu.kernels.pipeline import _tile_order, _tile_coords, \
-        _slot_of_id
+        _slot_of_id, auto_sync_every
 
     n_tiles = mesh.shape[axis_name]
     cfgp = cfg.replace(spp=1)
@@ -233,7 +234,9 @@ def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
     n_slots = len(ids_np)
     per_dev = _round_up(-(-n_slots // n_tiles), tile_rays)
     if sync_every <= 0:
-        sync_every = 1 if spheres.count > 128 else 3
+        # The respawn optimum (4), NOT the one-shot kernel's heuristic — a
+        # sharded respawn render must run the same schedule as single-chip.
+        sync_every = auto_sync_every(spheres.count, respawn=True)
     use_cull = bounds is not None
 
     def local(spheres, bounds, camera):

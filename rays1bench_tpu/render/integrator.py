@@ -145,6 +145,7 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
     """
     if topology is not None:
         assert not early_exit, "replay mode is fixed-trip (AD path)"
+        from jax.ad_checkpoint import checkpoint_name
         from rays1bench_tpu.render.intersect import hit_record_from_index
         topo_idx, topo_hit = topology
         tmin_static = float(t_min)
@@ -156,6 +157,12 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
                                                keepdims=False)
             hit = jax.lax.dynamic_index_in_dim(topo_hit, bounce, axis=0,
                                                keepdims=False)
+            # Same names as the Pallas-intersect path (render/pipeline.py):
+            # under remat, save_only_these_names keeps just the per-bounce
+            # topology slices; without the tags the policy saves NOTHING and
+            # the backward silently rematerializes the full bounce chain.
+            idx = checkpoint_name(idx, "hit_idx")
+            hit = checkpoint_name(hit, "hit_mask")
             return hit_record_from_index(ox_, oy_, oz_, dx_, dy_, dz_, sph,
                                          idx, hit, tmin_static,
                                          soft_eps=soft_eps)

@@ -47,8 +47,15 @@ _SWEEP_MAX_S = 64
 
 
 def _lookup_cols(cols, j):
-    """cols[:, j] — as a dense select sweep for small S (see _SWEEP_MAX_S)."""
+    """cols[:, j] — as a dense select sweep for small S (see _SWEEP_MAX_S).
+
+    j is clamped to [0, S): dead lanes deliberately carry j = -1 (topology
+    replay convention), which must resolve to column 0 on BOTH the sweep
+    path (whose init is column 0) and the gather path (which would wrap
+    negative indices to the LAST column) — every consumer masks dead lanes
+    with hit=False, but the two forwards must still agree value-for-value."""
     s_count = cols.shape[1]
+    j = jnp.clip(j, 0, s_count - 1)
     if s_count > _SWEEP_MAX_S:
         return cols[:, j]
     out = jnp.broadcast_to(cols[:, 0:1], (cols.shape[0], j.shape[0]))
