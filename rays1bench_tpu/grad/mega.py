@@ -36,9 +36,12 @@ import functools
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from rays1bench_tpu.core.config import RenderConfig
-from rays1bench_tpu.kernels.pipeline import render_image_pallas_topology
+from rays1bench_tpu.kernels.pipeline import (render_image_pallas_topology,
+                                             slot_layout, _tile_coords)
 from rays1bench_tpu.render.pipeline import render_image
 
 
@@ -80,8 +83,109 @@ def _make(cfg: RenderConfig, interpret: bool):
     return f
 
 
+@functools.lru_cache(maxsize=16)
+def _make_fused(cfg: RenderConfig, interpret: bool, tile_rays: int):
+    """Megakernel forward + FUSED Pallas backward (kernels/mega_backward.py).
+
+    Same gradient semantics as the replay path (_make) — the derivative of
+    the fixed-topology replay — but the whole differentiable bounce chain
+    runs forward AND reverse inside one Pallas kernel in VMEM instead of ~30
+    N-sized HBM round trips per bounce per direction under jax.vjp. The
+    sphere-column cotangents come back as a (10, S) matrix; the chain onto
+    the signed radius leaf (radius_sq = r^2, inv_radius = 1/r signed —
+    scene/spheres.prepare) and the camera raygen VJP close in XLA."""
+    from rays1bench_tpu.core import rng as rng_mod
+    from rays1bench_tpu.kernels.mega_backward import backward_pallas
+    from rays1bench_tpu.scene.spheres import prepare
+
+    n = cfg.num_primary_rays
+    n_slots, geom, exact = slot_layout(cfg, tile_rays)
+    gy, gx, th, tw = geom
+
+    def _ct_to_slots(ct_img):
+        """Per-ray radiance cotangent (= d loss / d pixel mean / spp), in
+        kernel slot order. Exact grids are a pure reshape/transpose (the
+        transpose of the pipeline's unpermute); padded grids take the gather
+        fallback like the pipeline does."""
+        ct_pix = ct_img * jnp.float32(1.0 / cfg.spp)  # (H, W, 3)
+        if exact:
+            # (H, W) = (gy, th, gx, tw) -> (gy, gx, th, tw) -> slots x spp.
+            def to_slots(a):
+                a = a.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3)
+                return jnp.broadcast_to(a.reshape(-1, 1),
+                                        (n // cfg.spp, cfg.spp)).reshape(-1)
+            return tuple(to_slots(ct_pix[..., c]) for c in range(3))
+        ray_id, _, _ = _tile_coords(cfg, geom, n_slots)
+        pix = jnp.minimum(ray_id, n - 1) // cfg.spp
+        valid = ray_id < n
+        return tuple(
+            jnp.where(valid, jnp.take(ct_pix[..., c].reshape(-1), pix), 0.0)
+            for c in range(3))
+
+    @jax.custom_vjp
+    def f(spheres_soa, camera):
+        img, num_rays, _ = render_image_pallas_topology(
+            spheres_soa, camera, cfg, tile_rays=tile_rays,
+            interpret=interpret, slots=True)
+        return img, num_rays
+
+    def fwd(spheres_soa, camera):
+        img, num_rays, topo = render_image_pallas_topology(
+            spheres_soa, camera, cfg, tile_rays=tile_rays,
+            interpret=interpret, slots=True)
+        return (img, num_rays), (spheres_soa, camera, topo)
+
+    def bwd(res, ct):
+        spheres_soa, camera, topo = res
+        ct_img, _ = ct
+
+        # Rebuild the slot-order primary rays (identical arithmetic to the
+        # forward's raygen — stateless RNG keyed on the true ray id).
+        ray_id, x, y = _tile_coords(cfg, geom, n_slots)
+        seed = jnp.uint32(cfg.seed)
+        ju, jv = rng_mod.pixel_jitter(seed, ray_id)
+        s = (x + ju) * jnp.float32(1.0 / cfg.width)
+        t = (y + jv) * jnp.float32(1.0 / cfg.height)
+
+        def raygen(cam):
+            return cam.generate_rays(s, t, seed, ray_id)
+
+        (ox, oy, oz, dx, dy, dz), vjp_raygen = jax.vjp(raygen, camera)
+        ct_r, ct_g, ct_b = _ct_to_slots(ct_img)
+
+        prep = prepare(spheres_soa)
+        grads, ray_cts = backward_pallas(
+            prep, ox, oy, oz, dx, dy, dz, ray_id, ct_r, ct_g, ct_b, topo,
+            cfg, tile_rays=tile_rays, n_rays=n, interpret=interpret)
+
+        (d_cam,) = vjp_raygen(ray_cts)
+
+        # Chain the PreparedSpheres-column cotangents onto the SoA leaves
+        # (scene/spheres.prepare: radius_sq = r*r; inv_radius = 1/r signed,
+        # 0 for placeholders).
+        import dataclasses
+        radius = spheres_soa.radius
+        is_real = radius != 0.0
+        safe_r = jnp.where(is_real, radius, 1.0)
+        d_radius = (2.0 * radius * grads[3]
+                    + jnp.where(is_real, -grads[4] / (safe_r * safe_r), 0.0))
+        d_soa = dataclasses.replace(
+            spheres_soa,
+            center_x=grads[0], center_y=grads[1], center_z=grads[2],
+            radius=d_radius,
+            mat_type=np.zeros(spheres_soa.mat_type.shape,
+                              dtype=jax.dtypes.float0),
+            albedo_x=grads[5], albedo_y=grads[6], albedo_z=grads[7],
+            fuzz=grads[8], ref_idx=grads[9])
+        return d_soa, d_cam
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def render_image_mega(spheres_soa, camera, cfg: RenderConfig,
-                      interpret: bool = False
+                      interpret: bool = False, fused: bool = True,
+                      tile_rays: int = 2048
                       ) -> Tuple[jax.Array, jax.Array]:
     """Differentiable render through the fused megakernel forward.
 
@@ -90,10 +194,20 @@ def render_image_mega(spheres_soa, camera, cfg: RenderConfig,
     camera — but the forward pass is ONE megakernel dispatch and the
     backward replays from recorded hit topology (see module docstring).
     cfg.early_exit is irrelevant (the megakernel always early-exits;
-    gradients are defined by the fixed-topology replay)."""
+    gradients are defined by the fixed-topology replay).
+
+    fused=True (default): run the backward through the fused Pallas kernel
+    (kernels/mega_backward.py — the whole bounce chain forward+reverse in
+    VMEM); fused=False keeps the XLA replay backward (jax.vjp over
+    render_image(topology=...)), the semantic reference the fused kernel is
+    tested against. The fused path additionally uses EXACT albedos in both
+    the replayed forward and backward (the replay path's cotangent passes
+    through the megakernel primal's 8-bit albedo image)."""
     assert not cfg.soft_silhouette, (
         "render_image_mega is the HARD renderer: the megakernel forward "
         "ignores cfg.soft_silhouette, so soft gradients here would belong "
         "to a different estimator than the primal — use the XLA path "
         "(grad/inverse.py) for silhouette fitting")
+    if fused:
+        return _make_fused(cfg, interpret, tile_rays)(spheres_soa, camera)
     return _make(cfg, interpret)(spheres_soa, camera)

@@ -1,0 +1,365 @@
+"""Fused Pallas backward: the whole gradient bounce chain in one kernel.
+
+The megakernel-forward gradient path (grad/mega.py) replays the bounce chain
+from recorded hit topology with jax.vjp over XLA — measured 138.5 ms per
+full-resolution gradient step vs a 12.4 ms forward (PARITY.md): the O(N)
+differentiable chain costs ~30 N-sized HBM round trips per bounce per
+direction, and THAT — not the intersection sweeps — is the bottleneck. This
+kernel fuses the entire replay, forward AND reverse, into one Pallas
+dispatch per ray tile:
+
+* forward pass: re-advance the per-lane wavefront state (origin, direction,
+  attenuation, alive) from the recorded topology — the winning sphere's
+  columns come from an S-select sweep over the exact SMEM sphere matrix (no
+  8-bit packing: gradients are float-exact) — checkpointing each bounce's
+  11 state planes into VMEM scratch (max_bounces+1 x 11 x tile, ~0.9 MB);
+* reverse pass: walk the bounces backward; each step rebuilds the bounce's
+  differentiable math (hit record -> scatter -> attenuation/radiance update,
+  the very same jnp code as render/intersect.hit_record_from_index +
+  render/integrator._bounce_step, traced HERE via jax.vjp so the transpose
+  is generated, not hand-derived) and pulls the radiance cotangent through
+  it. Per-sphere parameter cotangents are deposited into per-lane one-hot
+  accumulator planes (grad rows x spheres) that live in kernel scratch
+  ACROSS the serial TPU grid — no per-tile reduction, no HBM traffic; the
+  last grid step collapses them into the (10, S) output block;
+* per-tile early exit both ways: the forward while-loop stops at the last
+  live bounce (sky tiles store one bounce), and the reverse fori-loop runs
+  exactly that many steps.
+
+The kernel returns the primary-ray cotangents (d loss / d origin,
+d loss / d direction per lane) so the caller closes the camera gradient with
+an O(N) XLA raygen VJP, plus the (10, S) sphere-column cotangent matrix in
+PreparedSpheres order (center_xyz, radius_sq, inv_radius, albedo_xyz, fuzz,
+ref_idx); grad/mega.py chains radius_sq/inv_radius back onto the signed
+radius leaf analytically.
+
+Gradient semantics are IDENTICAL to the replay path: the derivative of the
+fixed-topology replay render (SURVEY.md §7.3 reparameterization), now with
+exact (unquantized) albedos on both sides of the chain. Reference for the
+replayed math: src/latest/rayweek1.cpp:152-339 (hit), :396-512 (scatter),
+:515-536 (radiance) — done twice here, forward and reverse.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rays1bench_tpu.core.config import RenderConfig
+from rays1bench_tpu.core.vecmath import safe_sqrt
+from rays1bench_tpu.render.integrator import sky_color
+from rays1bench_tpu.render.intersect import HitRecord
+from rays1bench_tpu.render.materials import scatter
+from rays1bench_tpu.scene.spheres import PreparedSpheres
+
+LANES = 128
+
+# Rows of the gradient output matrix, in PreparedSpheres column order.
+GRAD_ROWS = ("center_x", "center_y", "center_z", "radius_sq", "inv_radius",
+             "albedo_x", "albedo_y", "albedo_z", "fuzz", "ref_idx")
+NUM_GRAD = len(GRAD_ROWS)
+
+# Sphere SMEM layout: the 10 gradient columns + mat_type as f32 (exact for
+# codes 0..2). Max sphere rows the one-hot accumulator supports: the
+# accumulator is NUM_GRAD * S planes of (sub, LANES) f32 in VMEM.
+_NUM_COLS = NUM_GRAD + 1
+MAX_SPHERES = 64
+
+
+def _pack_exact(prep: PreparedSpheres) -> jax.Array:
+    """(11, S) f32 exact sphere matrix (no quantization — this is the
+    gradient path; megakernel._pack_spheres' 8-bit albedo trick is a
+    primal-only optimization)."""
+    return jnp.stack([
+        prep.center_x, prep.center_y, prep.center_z, prep.radius_sq,
+        prep.inv_radius, prep.albedo_x, prep.albedo_y, prep.albedo_z,
+        prep.fuzz, prep.ref_idx, prep.mat_type.astype(jnp.float32),
+    ])
+
+
+def _bounce_core(o, d, a, cols, mt, hit, alive, cont, b, ray_id, seed_c,
+                 t_min, max_bounces):
+    """One differentiable replay bounce on per-lane values.
+
+    Mirrors render/intersect.hit_record_from_index's O(N) chain plus
+    render/integrator._bounce_step's state update (hard renderer), with the
+    per-lane sphere columns `cols` (10 planes) as the differentiable leaves.
+    `cont=None` computes the continue mask (forward pass); the backward
+    passes the recorded one so the vjp'd closure has no boolean outputs.
+
+    Returns (o', d', a', radd, cont).
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    ar, ag, ab = a
+    cx, cy, cz, rsq, ivr, alx, aly, alz, fz, ri = cols
+
+    # Hit record from the chosen sphere (intersect.py:260-306).
+    gx, gy, gz = cx - ox, cy - oy, cz - oz
+    nb = gx * dx + gy * dy + gz * dz
+    c = gx * gx + gy * gy + gz * gz - rsq
+    sq = safe_sqrt(nb * nb - c)
+    t1 = nb - sq
+    t = jnp.where(t1 > t_min, t1, nb + sq)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    nx = (px - cx) * ivr
+    ny = (py - cy) * ivr
+    nz = (pz - cz) * ivr
+    rec = HitRecord(hit=hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
+                    mat_type=mt, albedo_x=alx, albedo_y=aly, albedo_z=alz,
+                    fuzz=fz, ref_idx=ri)
+
+    (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed_c,
+                                             ray_id, b)
+
+    skr, skg, skb = sky_color(dx, dy, dz)
+    miss = alive & ~hit
+    radd = (jnp.where(miss, ar * skr, 0.0),
+            jnp.where(miss, ag * skg, 0.0),
+            jnp.where(miss, ab * skb, 0.0))
+
+    if cont is None:
+        cont = alive & hit & ok & (b < max_bounces)
+    o2 = (jnp.where(cont, px, ox), jnp.where(cont, py, oy),
+          jnp.where(cont, pz, oz))
+    d2 = (jnp.where(cont, sx, dx), jnp.where(cont, sy, dy),
+          jnp.where(cont, sz, dz))
+    a2 = (jnp.where(cont, ar * mr, ar), jnp.where(cont, ag * mg, ag),
+          jnp.where(cont, ab * mb, ab))
+    return o2, d2, a2, radd, cont
+
+
+def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                rid_ref, ctr_ref, ctg_ref, ctb_ref, topo_ref,
+                grads_ref, cox_ref, coy_ref, coz_ref,
+                cdx_ref, cdy_ref, cdz_ref, acc_ref, *,
+                num_spheres: int, max_bounces: int, t_min: float, seed: int,
+                n_rays: int, sub: int):
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    zero = jnp.zeros((sub, LANES), jnp.float32)
+    seed_c = np.uint32(seed)
+    tmin_c = np.float32(t_min)
+    ray_id = rid_ref[...]
+    ct_r = (ctr_ref[...], ctg_ref[...], ctb_ref[...])
+
+    # The per-lane one-hot gradient accumulators persist across the serial
+    # grid; zero them once.
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def lookup(j):
+        """Winning sphere's columns per lane: an S-select sweep over SMEM
+        (the take_cols dense-sweep design, intersect.py:49-57; dead lanes'
+        j = -1 resolves to column 0, masked by hit everywhere)."""
+        jc = jnp.maximum(j, 0)
+        cols = []
+        for cidx in range(_NUM_COLS):
+            v = zero + spheres_smem[cidx, 0]
+            for s in range(1, num_spheres):
+                v = jnp.where(jc == s, spheres_smem[cidx, s], v)
+            cols.append(v)
+        return cols
+
+    def run(st, ct):
+        # st: 11 refs of (max_bounces+2, sub, LANES) — per-bounce
+        # checkpoints of (o3, d3, a3, alive) + alive at b+1 (= bounce b's
+        # cont, read back in reverse); ct: (9, sub, LANES) cotangent planes.
+        def read_state(b):
+            o = tuple(st[k][pl.ds(b, 1)][0] for k in range(3))
+            d = tuple(st[k][pl.ds(b, 1)][0] for k in range(3, 6))
+            a = tuple(st[k][pl.ds(b, 1)][0] for k in range(6, 9))
+            alive = st[9][pl.ds(b, 1)][0] > 0.0
+            return o, d, a, alive
+
+        def write_state(b, o, d, a, alive):
+            for k, v in enumerate(o + d + a):
+                st[k][pl.ds(b, 1)] = v[None]
+            st[9][pl.ds(b, 1)] = alive.astype(jnp.float32)[None]
+
+        # ---- forward replay: advance + checkpoint ----------------------- #
+        alive0 = ray_id < n_rays
+        one = zero + 1.0
+        write_state(0, (ox_ref[...], oy_ref[...], oz_ref[...]),
+                    (dx_ref[...], dy_ref[...], dz_ref[...]),
+                    (one, one, one), alive0)
+
+        def fwd_body(carry):
+            b, _ = carry
+            o, d, a, alive = read_state(b)
+            j = topo_ref[pl.ds(b, 1)][0]
+            hit = j >= 0
+            cols = lookup(j)
+            mt = cols[NUM_GRAD].astype(jnp.int32)
+            o2, d2, a2, _, cont = _bounce_core(
+                o, d, a, tuple(cols[:NUM_GRAD]), mt, hit, alive, None, b,
+                ray_id, seed_c, tmin_c, max_bounces)
+            write_state(b + 1, o2, d2, a2, cont)
+            return (b + 1, jnp.max(jnp.where(cont, 1, 0)))
+
+        b_end, _ = jax.lax.while_loop(
+            lambda cr: (cr[0] <= max_bounces) & (cr[1] > 0), fwd_body,
+            (jnp.int32(0), jnp.max(jnp.where(alive0, 1, 0))))
+
+        # ---- reverse pass ----------------------------------------------- #
+        for k in range(9):
+            ct[k] = zero
+
+        def bwd_body(k, _):
+            b = b_end - 1 - k
+            o, d, a, alive = read_state(b)
+            _, _, _, cont = read_state(b + 1)  # alive at b+1 == bounce b cont
+            cont = cont  # bool plane
+            j = topo_ref[pl.ds(b, 1)][0]
+            hit = j >= 0
+            cols = lookup(j)
+            mt = cols[NUM_GRAD].astype(jnp.int32)
+
+            def f(*leaves):
+                o_ = leaves[0:3]
+                d_ = leaves[3:6]
+                a_ = leaves[6:9]
+                cols_ = leaves[9:9 + NUM_GRAD]
+                o2, d2, a2, radd, _ = _bounce_core(
+                    o_, d_, a_, cols_, mt, hit, alive, cont, b, ray_id,
+                    seed_c, tmin_c, max_bounces)
+                return o2 + d2 + a2 + radd
+
+            primals = o + d + a + tuple(cols[:NUM_GRAD])
+            _, vjp = jax.vjp(f, *primals)
+            cts = vjp(tuple(ct[k2] for k2 in range(9)) + ct_r)
+            for k2 in range(9):
+                ct[k2] = cts[k2]
+            # Deposit the 10 per-lane column cotangents onto their sphere
+            # rows (one-hot; masks shared across the 10 rows).
+            masks = [j == s for s in range(num_spheres)]
+            for g in range(NUM_GRAD):
+                cg = cts[9 + g]
+                for s in range(num_spheres):
+                    idx = g * num_spheres + s
+                    acc_ref[idx] = acc_ref[idx] + jnp.where(masks[s], cg,
+                                                            zero)
+            return 0
+
+        jax.lax.fori_loop(0, b_end, bwd_body, 0)
+
+        # Primary-ray cotangents out (raygen VJP happens in XLA).
+        cox_ref[...] = ct[0]
+        coy_ref[...] = ct[1]
+        coz_ref[...] = ct[2]
+        cdx_ref[...] = ct[3]
+        cdy_ref[...] = ct[4]
+        cdz_ref[...] = ct[5]
+
+    nb2 = max_bounces + 2
+    pl.run_scoped(
+        run,
+        [pltpu.VMEM((nb2, sub, LANES), jnp.float32) for _ in range(10)],
+        pltpu.VMEM((9, sub, LANES), jnp.float32),
+    )
+
+    # Collapse the per-lane accumulators into the (NUM_GRAD, S_pad) output
+    # once, at the last grid step (NUM_GRAD * S scalar reductions total for
+    # the whole kernel).
+    @pl.when(i == nt - 1)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        for g in range(NUM_GRAD):
+            row = jnp.zeros((1, LANES), jnp.float32)
+            for s in range(num_spheres):
+                tot = jnp.sum(acc_ref[g * num_spheres + s])
+                row = row + jnp.where(lane == s, tot, 0.0)
+            grads_ref[g:g + 1, :] = row
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_rays", "n_rays",
+                                    "interpret"))
+def backward_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
+                    ct_r, ct_g, ct_b, topo, cfg: RenderConfig,
+                    tile_rays: int = 2048, n_rays: int = 0,
+                    interpret: bool = False
+                    ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Fused gradient of the fixed-topology replay for N primary rays.
+
+    Inputs are in kernel SLOT order (any order; lanes with
+    ray_id >= n_rays are padding): primary rays (ox..dz), per-lane radiance
+    cotangents (ct_r/g/b = d loss / d per-ray linear radiance), and the
+    per-bounce topology topo int32[max_bounces+1, N] (winning raw sphere row
+    for live hit lanes, -1 otherwise — kernels/pipeline.py topology order).
+
+    Returns (grads f32[NUM_GRAD, S], (ct_ox, ct_oy, ct_oz, ct_dx, ct_dy,
+    ct_dz) f32[N]): per-sphere cotangents of the GRAD_ROWS columns, and the
+    primary-ray cotangents for the caller's raygen VJP.
+    """
+    n = ox.shape[0]
+    assert n % tile_rays == 0, (n, tile_rays)
+    assert spheres.count <= MAX_SPHERES, (
+        f"fused backward supports <= {MAX_SPHERES} sphere rows "
+        f"(got {spheres.count}); use the XLA replay path")
+    sub = tile_rays // LANES
+    num_tiles = n // tile_rays
+    n_active = n_rays if n_rays > 0 else min(n, cfg.num_primary_rays)
+    nb1 = cfg.max_bounces + 1
+    assert topo.shape == (nb1, n), (topo.shape, nb1, n)
+
+    packed = _pack_exact(spheres)
+    shape2 = (num_tiles * sub, LANES)
+    as2d = lambda a: a.reshape(shape2)
+
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _bwd_kernel,
+        num_spheres=spheres.count,
+        max_bounces=cfg.max_bounces,
+        t_min=cfg.t_min,
+        seed=cfg.seed,
+        n_rays=n_active,
+        sub=sub,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            ray_spec, ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec((nb1, sub, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((NUM_GRAD, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NUM_GRAD, LANES), jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_GRAD * spheres.count, sub, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy), as2d(dz),
+      as2d(ray_id), as2d(ct_r), as2d(ct_g), as2d(ct_b),
+      topo.reshape((nb1,) + shape2))
+
+    grads = outs[0][:, :spheres.count]
+    cts = tuple(o.reshape(n) for o in outs[1:7])
+    return grads, cts

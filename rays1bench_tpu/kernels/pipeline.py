@@ -342,13 +342,24 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     return image, num_rays
 
 
+def slot_layout(cfg: RenderConfig, tile_rays: int = 2048):
+    """(n_slots, geom, exact) for the megakernel's pixel-tile slot order —
+    lets a caller (the fused backward, grad/mega.py) rebuild per-slot
+    ray ids / film coordinates and the slot<->ray permutation without
+    re-deriving the tiling."""
+    ids_np, _, _, inv_np, geom = _tile_order(cfg.width, cfg.height, cfg.spp,
+                                             tile_rays)
+    return len(ids_np), geom, inv_np is None
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
-                                    "sync_every", "interpret"))
+                                    "sync_every", "interpret", "slots"))
 def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
                                  cfg: RenderConfig, tile_rays: int = 2048,
                                  unroll: int = 0, sync_every: int = 0,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 slots: bool = False):
     """Megakernel forward that ALSO returns the per-bounce hit topology.
 
     Returns (image f32[H, W, 3], num_rays uint32,
@@ -361,7 +372,12 @@ def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
 
     cull="none" BY DESIGN: topology indices must be raw SoA row indices so
     replay cotangents land on the right rows — pass tightly padded scenes
-    (builders' pad_multiple=8) rather than relying on sort_trim."""
+    (builders' pad_multiple=8) rather than relying on sort_trim.
+
+    slots=True returns the topology in kernel SLOT order,
+    int32[max_bounces+1, n_slots] (n_slots from slot_layout) — the layout
+    the fused Pallas backward consumes directly, skipping the slot->ray
+    unpermute here and the ray->slot re-permute there."""
     spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, "none",
                                               64, None)
     if sync_every <= 0:
@@ -393,6 +409,9 @@ def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
 
     rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
     image = rad.mean(axis=2)
+
+    if slots:
+        return image, num_rays, topo
 
     if inv_np is None:
         topo_ray = topo.reshape(nb1, gy, gx, th, tw, cfg.spp).transpose(

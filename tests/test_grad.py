@@ -344,3 +344,51 @@ def test_mega_grad_matches_pipeline():
         a, b = np.asarray(g_m[k]), np.asarray(g_p[k])
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
         assert rel < 0.01, (k, rel, a[:3], b[:3])
+
+
+def test_fused_backward_matches_replay():
+    """The fused Pallas backward (kernels/mega_backward.py) computes the
+    same gradient as jax.vjp over the XLA topology replay — sphere columns
+    (including fuzz/ref_idx), the signed-radius chain, AND the camera — to
+    float tolerance in interpreter mode (identical math, different
+    accumulation order; the tiny residual also includes the replay path's
+    cotangent passing through the primal's 8-bit albedo image while the
+    fused path is albedo-exact end to end)."""
+    import dataclasses
+    from rays1bench_tpu.grad.mega import render_image_mega
+
+    cfg = RenderConfig(width=64, height=32, spp=2, seed=7, early_exit=False,
+                       ray_chunk=2048)
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    camera = scene.camera.build()
+
+    names = ("center_x", "center_y", "center_z", "radius",
+             "albedo_x", "albedo_y", "albedo_z", "fuzz", "ref_idx")
+    params0 = params_of(scene.spheres, names)
+    params0["center_x"] = params0["center_x"].at[0].add(0.04)
+    params0["radius"] = params0["radius"].at[0].add(-0.02)
+
+    # mb=3: with the small scene's sync_every=3 the topology forward
+    # overshoots past max_bounces (the out-of-bounds-write regression case);
+    # mb=5: deeper chain with glass bounces.
+    for mb in (3, 5):
+        c = cfg.replace(max_bounces=mb)
+
+        def loss(p, cam, fused):
+            img, _ = render_image_mega(with_params(scene.spheres, p), cam, c,
+                                       interpret=True, fused=fused)
+            return jnp.mean((img - 0.3) ** 2)
+
+        gp_f, gc_f = jax.grad(loss, argnums=(0, 1))(params0, camera, True)
+        gp_r, gc_r = jax.grad(loss, argnums=(0, 1))(params0, camera, False)
+        for k in names:
+            a, b = np.asarray(gp_f[k]), np.asarray(gp_r[k])
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert rel < 2e-3, (mb, k, rel, a[:3], b[:3])
+            # Placeholder rows (5..7 after pad_multiple=8) get exactly 0.
+            assert np.abs(a[scene.n_real:]).max() == 0.0, (k, a)
+        for f in dataclasses.fields(camera):
+            a = np.asarray(getattr(gc_f, f.name))
+            b = np.asarray(getattr(gc_r, f.name))
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert rel < 2e-3, (mb, f.name, rel, a, b)
