@@ -69,9 +69,48 @@ def with_params(spheres: SphereSOA, params: Dict[str, jax.Array]) -> SphereSOA:
     return dataclasses.replace(spheres, **params)
 
 
+def _pick_engine(spheres: SphereSOA, cfg: RenderConfig, mesh, engine: str
+                 ) -> str:
+    """Resolve engine="auto".
+
+    "mega" = megakernel forward + fused Pallas backward (grad/mega.py +
+    kernels/mega_backward.py) — the production gradient engine on TPU for
+    the hard renderer: one Pallas dispatch each way instead of ~30 N-sized
+    HBM round trips per bounce per direction (PARITY.md). It requires hard
+    shading (the megakernel ignores cfg.soft_silhouette) and <= 64 sphere
+    rows (the fused kernel's one-hot accumulator budget); with a mesh,
+    explicit engine="mega" runs the sharded fused path
+    (grad/mega.render_image_mega_sharded — auto stays on the pipeline
+    there). "pipeline" = the XLA fixed-trip renderer with the
+    Pallas index intersector + remat — the semantic reference, the soft/
+    silhouette path, and the sharded path. auto keeps CPU (tests, dryruns)
+    on the pipeline so interpreter-mode Pallas stays opt-in."""
+    if engine != "auto":
+        return engine
+    from rays1bench_tpu.kernels.mega_backward import MAX_SPHERES
+    if (mesh is None and not cfg.soft_silhouette
+            and spheres.radius.shape[0] <= MAX_SPHERES
+            and jax.default_backend() != "cpu"):
+        return "mega"
+    return "pipeline"
+
+
 def render_for_loss(spheres: SphereSOA, camera: Camera, cfg: RenderConfig,
-                    mesh=None) -> jax.Array:
+                    mesh=None, engine: str = "auto") -> jax.Array:
     """Differentiable linear-radiance render (fixed-trip loop)."""
+    engine = _pick_engine(spheres, cfg, mesh, engine)
+    if engine == "mega":
+        interp = jax.default_backend() == "cpu"
+        if mesh is not None:
+            from rays1bench_tpu.grad.mega import render_image_mega_sharded
+            img, _ = render_image_mega_sharded(spheres, camera,
+                                               _grad_cfg(cfg), mesh,
+                                               interpret=interp)
+        else:
+            from rays1bench_tpu.grad.mega import render_image_mega
+            img, _ = render_image_mega(spheres, camera, _grad_cfg(cfg),
+                                       interpret=interp)
+        return img
     if mesh is None:
         img, _ = render_image(spheres, camera, _grad_cfg(cfg))
     else:
@@ -81,7 +120,7 @@ def render_for_loss(spheres: SphereSOA, camera: Camera, cfg: RenderConfig,
 
 def image_loss(params: Dict[str, jax.Array], spheres: SphereSOA,
                camera: Camera, target: jax.Array, cfg: RenderConfig,
-               mesh=None) -> jax.Array:
+               mesh=None, engine: str = "auto") -> jax.Array:
     """MSE in linear radiance between a render with `params` applied and the
     target image.
 
@@ -98,16 +137,17 @@ def image_loss(params: Dict[str, jax.Array], spheres: SphereSOA,
     cost of a second forward. The hard renderer is deterministic
     (imgA == imgB), where this reduces to the plain MSE."""
     sph = with_params(spheres, params)
-    img = render_for_loss(sph, camera, cfg, mesh)
+    img = render_for_loss(sph, camera, cfg, mesh, engine)
     if not cfg.soft_silhouette:
         return jnp.mean((img - target) ** 2)
     img_b = render_for_loss(sph, camera,
-                            cfg.replace(seed=cfg.seed + 101), mesh)
+                            cfg.replace(seed=cfg.seed + 101), mesh, engine)
     return jnp.mean((img - target) * (img_b - target))
 
 
 def make_train_step(spheres_template: SphereSOA, camera: Camera,
-                    cfg: RenderConfig, inv: InverseConfig, mesh=None):
+                    cfg: RenderConfig, inv: InverseConfig, mesh=None,
+                    engine: str = "auto"):
     """Build (step_fn, optimizer) over the selected parameter dict.
 
     step_fn(params, opt_state, target) -> (params, opt_state, loss) is
@@ -124,7 +164,7 @@ def make_train_step(spheres_template: SphereSOA, camera: Camera,
     @jax.jit
     def step(params, opt_state, target):
         loss, grads = jax.value_and_grad(image_loss)(
-            params, spheres_template, camera, target, cfg, mesh)
+            params, spheres_template, camera, target, cfg, mesh, engine)
         if row_mask is not None:
             grads = {k: g * row_mask for k, g in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -189,3 +189,50 @@ def test_pallas_sharded_2d_mesh(scene_and_camera):
         if n_samp == 1:  # pure tile sharding keeps even the mean bitwise
             assert (np.asarray(img) == np.asarray(ref)).all(), (n_tiles,
                                                                 n_samp)
+
+
+def test_mega_grad_sharded_matches_single():
+    """Multi-chip fused gradients (grad/mega.render_image_mega_sharded):
+    the sharded megakernel-topology forward + fused Pallas backward under
+    shard_map produce the same loss (bitwise: identical per-ray math,
+    identical slot means) and the same gradients as the single-chip fused
+    path up to float summation order (per-device partial sums + the psum
+    tree for sphere columns; a differently-padded slot reduction for the
+    camera VJP)."""
+    import dataclasses
+    from rays1bench_tpu.grad.inverse import params_of, with_params
+    from rays1bench_tpu.grad.mega import (render_image_mega,
+                                          render_image_mega_sharded)
+
+    cfg = CFG.replace(max_bounces=4, seed=7, early_exit=False)
+    # Tightly padded scene: the fused backward's one-hot accumulator caps at
+    # 64 sphere rows (kernels/mega_backward.MAX_SPHERES).
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    camera = scene.camera.build()
+    mesh = make_mesh(8)
+    names = ("center_x", "radius", "albedo_x", "fuzz")
+    params = params_of(scene.spheres, names)
+
+    def loss(p, cam, sharded):
+        sph = with_params(scene.spheres, p)
+        if sharded:
+            img, _ = render_image_mega_sharded(sph, cam, cfg, mesh,
+                                               interpret=True)
+        else:
+            img, _ = render_image_mega(sph, cam, cfg, interpret=True)
+        return jnp.mean((img - 0.3) ** 2)
+
+    l1 = float(loss(params, camera, False))
+    l2 = float(loss(params, camera, True))
+    assert l1 == l2, (l1, l2)
+    g1 = jax.grad(loss, argnums=(0, 1))(params, camera, False)
+    g2 = jax.grad(loss, argnums=(0, 1))(params, camera, True)
+    for k in names:
+        a, b = np.asarray(g2[0][k]), np.asarray(g1[0][k])
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 1e-4, (k, rel)
+    for f in dataclasses.fields(camera):
+        a = np.asarray(getattr(g2[1], f.name))
+        b = np.asarray(getattr(g1[1], f.name))
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 1e-3, (f.name, rel)

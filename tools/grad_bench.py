@@ -22,11 +22,23 @@ def main():
     ap.add_argument("--xla-intersect", action="store_true",
                     help="force the dense XLA intersection sweep (the "
                          "gradient path default is the Pallas index kernel)")
+    ap.add_argument("--engine", default="pipeline",
+                    choices=["pipeline", "mega", "auto"],
+                    help="gradient engine: 'pipeline' = fixed-trip XLA "
+                         "forward + jax.vjp backward (Pallas index "
+                         "intersector unless --xla-intersect); 'mega' = "
+                         "megakernel forward + fused Pallas backward "
+                         "(kernels/mega_backward.py)")
     ap.add_argument("--width", type=int, default=200)
     ap.add_argument("--height", type=int, default=100)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--scene", default="small",
                     choices=["small", "medium", "large"])
+    ap.add_argument("--soft", type=float, default=0.0,
+                    help="cfg.soft_silhouette band width (world units); "
+                         "> 0 measures the SILHOUETTE gradient step "
+                         "(detached two-branch estimator + U-statistic "
+                         "loss: two independent renders per loss eval)")
     ap.add_argument("--record", default="",
                     help="append a 'label|s_per_step|steps_per_sec|' record "
                          "line (the sustained number) to this file — the "
@@ -47,7 +59,8 @@ def main():
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_bounces=10, early_exit=False,
-                       pallas_intersect=False if args.xla_intersect else None)
+                       pallas_intersect=False if args.xla_intersect else None,
+                       soft_silhouette=args.soft)
     # pad_multiple=8: the differentiable XLA path sweeps every SoA row
     # densely, so don't carry 120 placeholder rows through the VJP.
     build = getattr(builders, f"create_{args.scene}_scene")
@@ -56,7 +69,8 @@ def main():
     target = render_for_loss(scene.spheres, camera, cfg)
 
     inv = InverseConfig()
-    step, optimizer = make_train_step(scene.spheres, camera, cfg, inv)
+    step, optimizer = make_train_step(scene.spheres, camera, cfg, inv,
+                                      engine=args.engine)
     params = params_of(scene.spheres, inv.optimize)
     opt_state = optimizer.init(params)
 
@@ -80,7 +94,8 @@ def main():
         def body(carry, _):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(image_loss)(
-                params, scene.spheres, camera, target, cfg, None)
+                params, scene.spheres, camera, target, cfg, None,
+                args.engine)
             updates, opt_state = opt_tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -98,7 +113,12 @@ def main():
         float(losses.sum())
         times.append(time.perf_counter() - t0)
     sust = min(times) / args.steps
-    tag = "xla-intersect" if args.xla_intersect else "pallas-intersect"
+    if args.engine in ("mega", "auto"):
+        tag = "fused-mega"
+    else:
+        tag = "xla-intersect" if args.xla_intersect else "pallas-intersect"
+    if args.soft:
+        tag = f"soft-silhouette {args.soft:g}, {tag}"
     print(f"grad step ({args.scene} {args.width}x{args.height}@{args.spp}spp, "
           f"{tag}): single={single*1e3:.1f}ms "
           f"({1/single:.1f} steps/s) sustained={sust*1e3:.2f}ms "
