@@ -392,3 +392,29 @@ def test_fused_backward_matches_replay():
             b = np.asarray(getattr(gc_r, f.name))
             rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
             assert rel < 2e-3, (mb, f.name, rel, a, b)
+
+
+def test_soft_grad_chunk_invariance():
+    """Full-resolution silhouette fitting runs the soft renderer through
+    MANY ray chunks (29 at 1280x720 @ 4 spp) with the save-only-topology
+    remat policy; this pins that the soft gradient — near-miss promotion,
+    detached two-branch estimator, U-statistic loss — is exactly invariant
+    to chunking (multi-chunk remat path vs one live chunk). Stateless RNG
+    on global ray ids makes the renders identical; the remat backward must
+    rebuild the same soft chain per chunk."""
+    base = RenderConfig(width=128, height=72, spp=2, max_bounces=4, seed=5,
+                        early_exit=False, soft_silhouette=0.005)
+    scene = create_small_scene(base.aspect, pad_multiple=8)
+    cam = scene.camera.build()
+    params = params_of(scene.spheres, ("center_x", "center_y", "radius"))
+    params["center_x"] = params["center_x"].at[0].add(0.05)
+    target = jnp.zeros((base.height, base.width, 3), jnp.float32)
+    grads = {}
+    for chunk in (32768, 4096):  # one chunk vs 5 chunks (remat path)
+        cfg = base.replace(ray_chunk=chunk)
+        grads[chunk] = jax.grad(image_loss)(
+            params, scene.spheres, cam, target, cfg, None, "pipeline")
+    for k in params:
+        a, b = np.asarray(grads[4096][k]), np.asarray(grads[32768][k])
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 1e-6, (k, rel)
