@@ -250,8 +250,7 @@ def _make_fused_sharded(cfg: RenderConfig, interpret: bool, tile_rays: int,
         return rad.mean(axis=2)
 
     def _forward(spheres_soa, camera):
-        spheres, _, unroll = prepare_trimmed(spheres_soa, 0, "none", 64,
-                                             None)
+        spheres, unroll = prepare_trimmed(spheres_soa, 0, "none", None)
         sync_every = auto_sync_every(spheres.count)
 
         def local(spheres, camera):

@@ -107,18 +107,27 @@ def _cam_from_smem(cam_smem):
         lens_radius=g(18))
 
 
-def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
-                    t_min: float, sub: int, unroll: int, chunk_size: int,
-                    use_cull: bool, best_ref, carry_index: bool = False):
+def _make_intersect(spheres_smem, *, num_spheres: int,
+                    t_min: float, sub: int, unroll: int,
+                    carry_index: bool = False):
     """Build the closest-hit sweep closure over the sphere SMEM refs.
 
     Shared by every megakernel variant (_kernel, _phase_kernel,
     _respawn_kernel). Returns isect(ox..dz) -> (best_t, cx, cy, cz, inv_r,
-    albedo_packed, mat_packed[, idx]). `best_ref` is the VMEM scratch holding
-    the running closest-hit payload for the culled variant (Mosaic's scf.if
-    cannot yield vectors). carry_index adds the winning sphere's SMEM row
-    index as an 8th f32 carry (one extra select per sphere) — the topology
-    the megakernel-forward gradient path emits (grad/mega.py)."""
+    albedo_packed, mat_packed[, idx]). carry_index adds the winning sphere's
+    SMEM row index as an 8th f32 carry (one extra select per sphere) — the
+    topology the megakernel-forward gradient path emits (grad/mega.py).
+
+    The sweep is always DENSE over the (Morton-sorted, placeholder-trimmed)
+    rows — the reference's own shape (rayweek1.cpp:190-226 tests every
+    sphere every ray). A chunk-bounds culled variant was built and measured
+    OUT, twice: -25% on the large scene (512 rows, round 3), and 0.83-1.00x
+    on the 4096-row giant stress scene on BOTH engines (round 4,
+    tools/culling_probe.py, records/culling.txt) — per-chunk scalar sync
+    (vector reduce -> scf.if) costs more than the skipped sweeps, because a
+    2048-lane tile's rays point everywhere after one bounce (and respawn
+    lanes desynchronize besides), so the any-lane-can-hit union cull almost
+    never fires. Removed; the probe and records keep the negative result."""
     zero = jnp.zeros((sub, LANES), jnp.float32)
     tmin_c = np.float32(t_min)
     ncarry = 8 if carry_index else 7
@@ -165,7 +174,7 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
     _INIT = lambda: (zero + _INF,) + (zero,) * (ncarry - 1)
 
     def intersect(ox, oy, oz, dx, dy, dz):
-        """Dense sweep over all spheres (no culling).
+        """Dense sweep over all spheres.
 
         Manual unroll (Mosaic's fori_loop only supports unroll=1 or full):
         the group body issues `unroll` independent candidate chains, giving
@@ -181,61 +190,7 @@ def _make_intersect(spheres_smem, bounds_smem, *, num_spheres: int,
         assert num_spheres % unroll == 0, (num_spheres, unroll)
         return jax.lax.fori_loop(0, num_spheres // unroll, group, _INIT())
 
-    def intersect_culled(ox, oy, oz, dx, dy, dz):
-        """Chunked sweep with bounding-sphere culling (kernels/culling.py).
-
-        For each chunk of `chunk_size` Morton-sorted spheres, one vector test
-        decides whether ANY ray in the tile can hit the chunk's bound; culled
-        chunks skip their whole sphere loop. Running best/payload state lives
-        in the VMEM scratch ref because Mosaic's scf.if cannot yield vectors.
-        Placeholder chunks have bound radius^2 = -1e30, so padding is skipped
-        for free — the chunked generalization of the reference's placeholder
-        skip (rayweek1.cpp:291)."""
-        one_sphere = make_sphere_step(ox, oy, oz, dx, dy, dz)
-        init = _INIT()
-        for i in range(ncarry):
-            best_ref[i] = init[i]
-
-        num_chunks = num_spheres // chunk_size
-        cun = min(unroll, chunk_size)
-        assert chunk_size % cun == 0
-
-        def chunk_body(ch, _):
-            bcx = bounds_smem[0, ch]
-            bcy = bounds_smem[1, ch]
-            bcz = bounds_smem[2, ch]
-            brsq = bounds_smem[3, ch]
-            cox = bcx - ox
-            coy = bcy - oy
-            coz = bcz - oz
-            nb = cox * dx + coy * dy + coz * dz
-            cb = cox * cox + coy * coy + coz * coz - brsq
-            discb = nb * nb - cb
-            # Possible hit iff the far root is in front: covers origin-inside
-            # (cb < 0) and ahead-of-ray cases.
-            possible = (discb > 0.0) & (nb + jnp.sqrt(jnp.maximum(discb, 0.0)) > tmin_c)
-            any_p = jnp.max(jnp.where(possible, 1, 0))
-
-            @pl.when(any_p > 0)
-            def _():
-                carry = tuple(best_ref[i] for i in range(ncarry))
-
-                def group(g, carry):
-                    s0 = ch * chunk_size + g * cun
-                    for k in range(cun):
-                        carry = one_sphere(s0 + k, carry)
-                    return carry
-
-                carry = jax.lax.fori_loop(0, chunk_size // cun, group, carry)
-                for i in range(ncarry):
-                    best_ref[i] = carry[i]
-
-            return 0
-
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-        return tuple(best_ref[i] for i in range(ncarry))
-
-    return intersect_culled if use_cull else intersect
+    return intersect
 
 
 def _closest_hit_record(best, ox, oy, oz, dx, dy, dz):
@@ -271,10 +226,9 @@ def _closest_hit_record(best, ox, oy, oz, dx, dy, dz):
     return hit, px, py, pz, rec
 
 
-def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
+def _make_bounce(spheres_smem, ray_id, *, num_spheres: int,
                  max_bounces: int, t_min: float, seed: int, sub: int,
-                 unroll: int, chunk_size: int, use_cull: bool, best_ref,
-                 topo_ref=None):
+                 unroll: int, topo_ref=None):
     """Build the per-bounce wavefront update closure over the sphere SMEM refs.
 
     Shared by the one-shot megakernel (_kernel) and the resumable phase kernel
@@ -283,10 +237,9 @@ def _make_bounce(spheres_smem, bounds_smem, ray_id, *, num_spheres: int,
     row index for live hit lanes, -1 otherwise — consumed by the
     megakernel-forward gradient replay (grad/mega.py)."""
     seed_c = np.uint32(seed)
-    isect = _make_intersect(spheres_smem, bounds_smem,
+    isect = _make_intersect(spheres_smem,
                             num_spheres=num_spheres, t_min=t_min, sub=sub,
-                            unroll=unroll, chunk_size=chunk_size,
-                            use_cull=use_cull, best_ref=best_ref,
+                            unroll=unroll,
                             carry_index=topo_ref is not None)
 
     def bounce(state):
@@ -348,12 +301,12 @@ def _state_io(st_ref):
     return write_state, read_state
 
 
-def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
+def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref,
             rid_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *refs, num_spheres: int,
             max_bounces: int, t_min: float, seed: int, n_rays: int,
-            tile_rays: int, sub: int, unroll: int, chunk_size: int,
-            use_cull: bool, sync_every: int = 1, debug_iters: bool = False,
+            tile_rays: int, sub: int, unroll: int,
+            sync_every: int = 1, debug_iters: bool = False,
             emit_topology: bool = False):
     k = 0
     topo_ref = None
@@ -370,12 +323,11 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
 
     # Mosaic cannot carry vectors through scf.while; park the per-ray state
     # in VMEM scratch refs and carry only scalars (bounce index + any-alive).
-    def run(st_ref, best_ref):
+    def run(st_ref):
         bounce = _make_bounce(
-            spheres_smem, bounds_smem, ray_id, num_spheres=num_spheres,
+            spheres_smem, ray_id, num_spheres=num_spheres,
             max_bounces=max_bounces, t_min=t_min, seed=seed, sub=sub,
-            unroll=unroll, chunk_size=chunk_size, use_cull=use_cull,
-            best_ref=best_ref, topo_ref=topo_ref)
+            unroll=unroll, topo_ref=topo_ref)
         write_state, read_state = _state_io(st_ref)
 
         write_state((jnp.int32(0), ox_ref[...], oy_ref[...], oz_ref[...],
@@ -412,17 +364,15 @@ def _kernel(spheres_smem, bounds_smem, ox_ref, oy_ref, oz_ref,
         rg_ref[...] = final[11]
         rb_ref[...] = final[12]
 
-    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32),
-                  pltpu.VMEM((8 if emit_topology else 7, sub, LANES),
-                             jnp.float32))
+    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32))
 
 
-def _respawn_kernel(sspan_smem, spheres_smem, cam_smem, bounds_smem, pid_ref,
+def _respawn_kernel(sspan_smem, spheres_smem, cam_smem, pid_ref,
                     x_ref, y_ref, rr_ref, rg_ref, rb_ref, cnt_ref, *refs,
                     num_spheres: int, spp: int, width: int, height: int,
                     num_pixels: int, max_bounces: int, t_min: float,
-                    seed: int, sub: int, unroll: int, chunk_size: int,
-                    use_cull: bool, sync_every: int, debug_iters: bool):
+                    seed: int, sub: int, unroll: int,
+                    sync_every: int, debug_iters: bool):
     """Persistent-lane megakernel: LANE = PIXEL, sample respawn in-register.
 
     The one-shot kernel's whole-tile early exit leaves 2.4-3.3x dead-lane
@@ -478,12 +428,10 @@ def _respawn_kernel(sspan_smem, spheres_smem, cam_smem, bounds_smem, pid_ref,
         t = (yf + jv) * inv_h
         return Camera.generate_rays(cam, s, t, seed_c, rid)
 
-    def run(st_ref, si_ref, best_ref):
-        isect = _make_intersect(spheres_smem, bounds_smem,
+    def run(st_ref, si_ref):
+        isect = _make_intersect(spheres_smem,
                                 num_spheres=num_spheres, t_min=t_min,
-                                sub=sub, unroll=unroll,
-                                chunk_size=chunk_size, use_cull=use_cull,
-                                best_ref=best_ref)
+                                sub=sub, unroll=unroll)
 
         def step(state):
             (ox, oy, oz, dx, dy, dz, ar, ag, ab, alive, s_idx, b) = state
@@ -569,18 +517,16 @@ def _respawn_kernel(sspan_smem, spheres_smem, cam_smem, bounds_smem, pid_ref,
             iters_ref[...] = jnp.full((sub, LANES), 1, jnp.int32) * fin[0]
 
     pl.run_scoped(run, pltpu.VMEM((10, sub, LANES), jnp.float32),
-                  pltpu.VMEM((2, sub, LANES), jnp.int32),
-                  pltpu.VMEM((7, sub, LANES), jnp.float32))
+                  pltpu.VMEM((2, sub, LANES), jnp.int32))
 
 
-def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
+def _phase_kernel(bspan_smem, spheres_smem,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rid_ref,
                   ar_ref, ag_ref, ab_ref, rr_ref, rg_ref, rb_ref, al_ref,
                   oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
                   oar_ref, oag_ref, oab_ref, orr_ref, org_ref, orb_ref,
                   oal_ref, cnt_ref, *, num_spheres: int, max_bounces: int,
-                  t_min: float, seed: int, sub: int, unroll: int,
-                  chunk_size: int, use_cull: bool):
+                  t_min: float, seed: int, sub: int, unroll: int):
     """Resumable wavefront phase: advance every live ray by up to
     (bspan[1] - bspan[0]) bounces, starting at absolute bounce bspan[0].
 
@@ -594,12 +540,11 @@ def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
     b0 = bspan_smem[0, 0]
     bend = bspan_smem[0, 1]
 
-    def run(st_ref, best_ref):
+    def run(st_ref):
         bounce = _make_bounce(
-            spheres_smem, bounds_smem, ray_id, num_spheres=num_spheres,
+            spheres_smem, ray_id, num_spheres=num_spheres,
             max_bounces=max_bounces, t_min=t_min, seed=seed, sub=sub,
-            unroll=unroll, chunk_size=chunk_size, use_cull=use_cull,
-            best_ref=best_ref)
+            unroll=unroll)
         write_state, read_state = _state_io(st_ref)
 
         alive_in = al_ref[...]
@@ -630,18 +575,17 @@ def _phase_kernel(bspan_smem, spheres_smem, bounds_smem,
             ref[...] = v
         oal_ref[...] = final[13].astype(jnp.float32)
 
-    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32),
-                  pltpu.VMEM((7, sub, LANES), jnp.float32))
+    pl.run_scoped(run, pltpu.VMEM((13, sub, LANES), jnp.float32))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
-                                    "chunk_size", "sync_every", "interpret",
+                                    "sync_every", "interpret",
                                     "debug_iters", "n_rays",
                                     "emit_topology"))
 def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                  cfg: RenderConfig, tile_rays: int = 2048, unroll: int = 4,
-                 bounds=None, chunk_size: int = 32, sync_every: int = 1,
+                 sync_every: int = 1,
                  interpret: bool = False, debug_iters: bool = False,
                  n_rays: int = 0, emit_topology: bool = False
                  ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
@@ -655,10 +599,6 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     Semantically matches render.integrator.trace (tested against it in
     tests/test_megakernel.py).
 
-    `bounds` (float32[4, S/chunk_size], from kernels.culling.chunk_bounds over
-    Morton-sorted spheres) enables chunk culling; spheres must already be in
-    the sorted order the bounds were computed for.
-
     `emit_topology`: additionally return topo int32[max_bounces+1, N] in
     SLOT order — each bounce's winning sphere row index for live hit lanes,
     -1 otherwise (megakernel-forward gradients, grad/mega.py).
@@ -671,9 +611,6 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     n_active = n_rays if n_rays > 0 else min(n, cfg.num_primary_rays)
 
     packed = _pack_spheres(spheres)
-    use_cull = bounds is not None
-    if not use_cull:
-        bounds = jnp.zeros((4, 1), jnp.float32)
     shape2 = (num_tiles * sub, LANES)
     as2d = lambda a: a.reshape(shape2)
 
@@ -689,8 +626,6 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         tile_rays=tile_rays,
         sub=sub,
         unroll=unroll,
-        chunk_size=chunk_size,
-        use_cull=use_cull,
         sync_every=sync_every,
         debug_iters=debug_iters,
         emit_topology=emit_topology,
@@ -722,15 +657,13 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         in_specs=[
             pl.BlockSpec(packed.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec,
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(packed, bounds, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy),
+    )(packed, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy),
       as2d(dz), as2d(ray_id))
     rr, rg, rb, cnt = outs[:4]
 
@@ -747,11 +680,11 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_lanes", "unroll",
-                                    "chunk_size", "sync_every", "interpret",
+                                    "sync_every", "interpret",
                                     "debug_iters", "num_pixels"))
 def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
                          cfg: RenderConfig, tile_lanes: int = 2048,
-                         unroll: int = 4, bounds=None, chunk_size: int = 32,
+                         unroll: int = 4,
                          sync_every: int = 1, interpret: bool = False,
                          debug_iters: bool = False, num_pixels: int = 0,
                          sample_span=None
@@ -781,9 +714,6 @@ def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
 
     packed = _pack_spheres(spheres)
     camp = _pack_camera(camera)
-    use_cull = bounds is not None
-    if not use_cull:
-        bounds = jnp.zeros((4, 1), jnp.float32)
     if sample_span is None:
         sample_span = jnp.asarray([[0, cfg.spp]], jnp.int32)
     shape2 = (num_tiles * sub, LANES)
@@ -803,8 +733,6 @@ def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
         seed=cfg.seed,
         sub=sub,
         unroll=unroll,
-        chunk_size=chunk_size,
-        use_cull=use_cull,
         sync_every=sync_every,
         debug_iters=debug_iters,
     )
@@ -827,14 +755,12 @@ def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(camp.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec,
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(sample_span, packed, camp, bounds, as2d(pid), as2d(x), as2d(y))
+    )(sample_span, packed, camp, as2d(pid), as2d(x), as2d(y))
     rr, rg, rb, cnt = outs[:4]
 
     res = (rr.reshape(n), rg.reshape(n), rb.reshape(n)), \
@@ -848,11 +774,11 @@ def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll",
-                                    "chunk_size", "schedule", "interpret",
+                                    "schedule", "interpret",
                                     "n_rays"))
 def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
                            ray_id, cfg: RenderConfig, tile_rays: int = 2048,
-                           unroll: int = 16, bounds=None, chunk_size: int = 64,
+                           unroll: int = 16,
                            schedule: Tuple[int, ...] = (2, 3, 6),
                            interpret: bool = False, n_rays: int = 0
                            ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
@@ -891,9 +817,6 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     n_active = n_rays if n_rays > 0 else min(n, cfg.num_primary_rays)
 
     packed = _pack_spheres(spheres)
-    use_cull = bounds is not None
-    if not use_cull:
-        bounds = jnp.zeros((4, 1), jnp.float32)
     shape2 = (num_tiles * sub, LANES)
     as2d = lambda a: a.reshape(shape2)
 
@@ -907,8 +830,6 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
         seed=cfg.seed,
         sub=sub,
         unroll=unroll,
-        chunk_size=chunk_size,
-        use_cull=use_cull,
     )
     f32s = jax.ShapeDtypeStruct(shape2, jnp.float32)
     phase_call = pl.pallas_call(
@@ -917,8 +838,6 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(packed.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ] + [ray_spec] * 14,
         out_specs=tuple([ray_spec] * 14),
@@ -946,7 +865,7 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
         if i == last:
             bend = cfg.max_bounces + 1  # never truncate the final phase
         bspan = jnp.asarray([[b0, bend]], jnp.int32)
-        outs = phase_call(bspan, packed, bounds, *state[:6], rid, *state[6:])
+        outs = phase_call(bspan, packed, *state[:6], rid, *state[6:])
         state = list(outs[:13])
         total = total + jnp.sum(outs[13]).astype(jnp.uint32)
         b0 = bend

@@ -160,34 +160,32 @@ def auto_sync_every(sphere_count: int, respawn: bool = False) -> int:
 
 
 def prepare_trimmed(spheres_soa: SphereSOA, unroll: int, cull: str,
-                    chunk_size: int, n_real: Optional[int]):
+                    n_real: Optional[int]):
     """Morton-sort + placeholder-trim the SoA and resolve the auto unroll.
 
-    Returns (PreparedSpheres, bounds-or-None, unroll). Shared by the
-    single-chip and shard_map pipelines (the trim is replicated scene prep,
-    never sharded)."""
-    bounds = None
+    Returns (PreparedSpheres, unroll). Shared by the single-chip and
+    shard_map pipelines (the trim is replicated scene prep, never
+    sharded)."""
     if cull != "none":
         import dataclasses as _dc
         valid = spheres_soa.radius != 0.0
         perm = culling.morton_order(spheres_soa.center_x,
                                     spheres_soa.center_y,
                                     spheres_soa.center_z, valid)
-        granule = chunk_size if cull == "bounds" else max(unroll, 8)
+        granule = max(unroll, 8)
         keep = (_keep_count(n_real, perm.shape[0], granule)
                 if n_real is not None else
                 max(-(-perm.shape[0] // granule) * granule, granule))
         if unroll <= 0:
-            unroll = keep if keep <= 64 else keep // 2
+            # Measured sweet spots (2026-08-18): full unroll up to 64 rows,
+            # half the row count above — capped at 256 (the giant scene's
+            # 4096 rows would otherwise unroll 2048-wide and explode Mosaic
+            # compile time for no ILP the VPU can still use).
+            unroll = keep if keep <= 64 else min(keep // 2, 256)
         idx = perm[:keep]
         spheres_soa = _dc.replace(spheres_soa, **{
             f.name: jnp.take(getattr(spheres_soa, f.name), idx)
             for f in _dc.fields(spheres_soa)})
-        if cull == "bounds":
-            bounds = culling.chunk_bounds(
-                spheres_soa.center_x, spheres_soa.center_y,
-                spheres_soa.center_z, spheres_soa.radius,
-                spheres_soa.radius != 0.0, chunk_size)
 
     spheres = prepare(spheres_soa)
     if unroll <= 0:  # cull == "none" path (no row trimming happened)
@@ -197,7 +195,7 @@ def prepare_trimmed(spheres_soa: SphereSOA, unroll: int, cull: str,
         else:  # largest divisor of count that is <= min(count // 2, 256)
             cap = min(count // 2, 256)
             unroll = next(d for d in range(cap, 0, -1) if count % d == 0)
-    return spheres, bounds, unroll
+    return spheres, unroll
 
 
 def _keep_count(n_real: int, n_padded: int, granule: int) -> int:
@@ -214,7 +212,6 @@ def _keep_count(n_real: int, n_padded: int, granule: int) -> int:
 def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
                         cfg: RenderConfig, tile_rays: int = 2048,
                         unroll: int = 0, cull: str = "sort_trim",
-                        chunk_size: int = 64,
                         n_real: Optional[int] = None,
                         wavefront: Optional[Tuple[int, ...]] = None,
                         sync_every: int = 0,
@@ -232,10 +229,10 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
         count of real spheres, e.g. builders.Scene.n_real) is given, drop
         placeholder padding down to the next power of two (small scene:
         128 -> 8 rows). n_real must be static — it determines kernel shapes.
-      "bounds": sort_trim + per-chunk bounding-sphere skip in the kernel.
-        Wins only when whole regions are often invisible per tile; the
-        per-chunk scalar sync costs ~25% on the large scene, so it is opt-in.
       "none": feed spheres as-is.
+    (An in-kernel chunk-bounds skip mode was measured out on both the 512-row
+    large and 4096-row giant scenes and removed — megakernel._make_intersect
+    docstring, tools/culling_probe.py, records/culling.txt.)
 
     wavefront: None for the one-shot megakernel, or a tuple of per-phase
     bounce budgets (e.g. (2, 3, 6)) to trace in compacted phases — live rays
@@ -258,26 +255,24 @@ def render_image_pallas(spheres_soa: SphereSOA, camera: Camera,
     budgets and high spp (the reference's own 250 spp / 50 bounce profile).
     Per-ray math is bit-identical; pixel values differ from the other engines
     only in sample-sum addition order. Mutually exclusive with wavefront."""
-    assert cull in ("sort_trim", "bounds", "none"), cull
+    assert cull in ("sort_trim", "none"), cull
     assert not (respawn and wavefront is not None), \
         "respawn and wavefront are alternative scheduling strategies"
     return _render_jit(spheres_soa, camera, cfg, tile_rays, unroll,
-                       cull, chunk_size, n_real, wavefront, sync_every,
-                       respawn)
+                       cull, n_real, wavefront, sync_every, respawn)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile_rays", "unroll", "cull",
-                                    "chunk_size", "n_real", "wavefront",
+                                    "n_real", "wavefront",
                                     "sync_every", "respawn"))
 def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
-                tile_rays: int, unroll: int, cull: str, chunk_size: int,
+                tile_rays: int, unroll: int, cull: str,
                 n_real: Optional[int],
                 wavefront: Optional[Tuple[int, ...]] = None,
                 sync_every: int = 0, respawn: bool = False
                 ) -> Tuple[jax.Array, jax.Array]:
-    spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, cull,
-                                              chunk_size, n_real)
+    spheres, unroll = prepare_trimmed(spheres_soa, unroll, cull, n_real)
     n = cfg.num_primary_rays
     if sync_every <= 0:
         sync_every = auto_sync_every(spheres.count, respawn)
@@ -291,8 +286,7 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
         pid, x, y = _tile_coords(cfgp, geom, len(ids_np))
         (rr, rg, rb), num_rays = trace_pallas_respawn(
             spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
-            unroll=unroll, bounds=bounds, chunk_size=chunk_size,
-            sync_every=sync_every)
+            unroll=unroll, sync_every=sync_every)
         gy, gx, th, tw = geom
 
         def unpermute_pix(a):
@@ -319,14 +313,12 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     if wavefront is not None:
         (rr, rg, rb), num_rays = trace_pallas_wavefront(
             spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
-            tile_rays=tile_rays, unroll=unroll, bounds=bounds,
-            chunk_size=chunk_size, schedule=wavefront)
+            tile_rays=tile_rays, unroll=unroll, schedule=wavefront)
     else:
         (rr, rg, rb), num_rays = trace_pallas(spheres, ox, oy, oz, dx, dy,
                                               dz, ray_id, cfg,
                                               tile_rays=tile_rays,
-                                              unroll=unroll, bounds=bounds,
-                                              chunk_size=chunk_size,
+                                              unroll=unroll,
                                               sync_every=sync_every)
 
     def unpermute(a):
@@ -378,8 +370,7 @@ def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
     int32[max_bounces+1, n_slots] (n_slots from slot_layout) — the layout
     the fused Pallas backward consumes directly, skipping the slot->ray
     unpermute here and the ray->slot re-permute there."""
-    spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll, "none",
-                                              64, None)
+    spheres, unroll = prepare_trimmed(spheres_soa, unroll, "none", None)
     if sync_every <= 0:
         sync_every = auto_sync_every(spheres.count)
     n = cfg.num_primary_rays
@@ -397,7 +388,7 @@ def render_image_pallas_topology(spheres_soa: SphereSOA, camera: Camera,
 
     (rr, rg, rb), num_rays, topo = trace_pallas(
         spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg, tile_rays=tile_rays,
-        unroll=unroll, bounds=bounds, sync_every=sync_every,
+        unroll=unroll, sync_every=sync_every,
         interpret=interpret, emit_topology=True)
 
     def unpermute(a):

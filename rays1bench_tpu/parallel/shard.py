@@ -73,7 +73,7 @@ def render_image_sharded(spheres_soa: SphereSOA, camera: Camera,
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name", "tile_rays",
-                                   "unroll", "cull", "chunk_size",
+                                   "unroll", "cull",
                                    "wavefront", "sync_every", "n_real",
                                    "sample_axis", "interpret", "respawn"))
 def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
@@ -81,7 +81,6 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                 axis_name: str = "rays",
                                 tile_rays: int = 2048, unroll: int = 0,
                                 cull: str = "sort_trim",
-                                chunk_size: int = 64,
                                 wavefront=None, sync_every: int = 0,
                                 n_real=None, sample_axis=None,
                                 interpret: bool = False,
@@ -97,7 +96,7 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     makes the image bit-identical to the single-device megakernel render.
 
     Supports the full single-chip feature surface (kernels/pipeline.py
-    render_image_pallas): `cull` in {"sort_trim", "bounds", "none"},
+    render_image_pallas): `cull` in {"sort_trim", "none"},
     `wavefront` phase schedules with inter-phase row compaction (local to
     each device's slice — compaction is a per-device permutation, so no
     cross-device traffic), and `sync_every`.
@@ -125,8 +124,7 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     from rays1bench_tpu.core import rng as rng_mod
     import math
 
-    spheres, bounds, unroll = prepare_trimmed(spheres_soa, unroll,
-                                              cull, chunk_size, n_real)
+    spheres, unroll = prepare_trimmed(spheres_soa, unroll, cull, n_real)
     n = cfg.num_primary_rays
     n_tiles = mesh.shape[axis_name]
     n_samp = mesh.shape[sample_axis] if sample_axis else 1
@@ -136,8 +134,8 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
         "respawn and wavefront are alternative scheduling strategies"
     if respawn:
         return _render_respawn_sharded(
-            spheres, bounds, camera, cfg, mesh, axis_name, tile_rays, unroll,
-            chunk_size, sync_every, sample_axis, n_samp, spp_loc, interpret)
+            spheres, camera, cfg, mesh, axis_name, tile_rays, unroll,
+            sync_every, sample_axis, n_samp, spp_loc, interpret)
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
         cfg.width, cfg.height, cfg.spp, tile_rays)
@@ -152,10 +150,7 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     if sync_every <= 0:
         sync_every = auto_sync_every(spheres.count)
 
-    use_cull = bounds is not None
-
-    def local(spheres, bounds, camera):
-        bounds = bounds if use_cull else None  # dummy zeros when cull is off
+    def local(spheres, camera):
         i = jax.lax.axis_index(axis_name).astype(jnp.int32)
         j = (jax.lax.axis_index(sample_axis).astype(jnp.int32)
              if sample_axis else jnp.int32(0))
@@ -172,14 +167,14 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
         if wavefront is not None:
             (rr, rg, rb), nr = trace_pallas_wavefront(
                 spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
-                tile_rays=tile_rays, unroll=unroll, bounds=bounds,
-                chunk_size=chunk_size, schedule=wavefront, n_rays=n,
+                tile_rays=tile_rays, unroll=unroll,
+                schedule=wavefront, n_rays=n,
                 interpret=interpret)
         else:
             (rr, rg, rb), nr = trace_pallas(
                 spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
-                tile_rays=tile_rays, unroll=unroll, bounds=bounds,
-                chunk_size=chunk_size, sync_every=sync_every, n_rays=n,
+                tile_rays=tile_rays, unroll=unroll,
+                sync_every=sync_every, n_rays=n,
                 interpret=interpret)
         axes = (axis_name, sample_axis) if sample_axis else axis_name
         count = jax.lax.psum(nr, axes)
@@ -193,11 +188,10 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     spec = P(axis_name, sample_axis) if sample_axis else P(axis_name)
     rr, rg, rb, count = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P()),
         out_specs=(spec, spec, spec, P()),
         check_vma=False,
-    )(spheres, bounds if use_cull else jnp.zeros((4, 1), jnp.float32),
-      camera)
+    )(spheres, camera)
 
     def unpermute(a):
         # (n_tiles, n_samp, rows_per_dev, spp_loc) -> (rows, spp), then the
@@ -215,8 +209,8 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     return rad.mean(axis=2), count
 
 
-def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
-                            tile_rays, unroll, chunk_size, sync_every,
+def _render_respawn_sharded(spheres, camera, cfg, mesh, axis_name,
+                            tile_rays, unroll, sync_every,
                             sample_axis, n_samp, spp_loc, interpret):
     """Sample-respawn megakernel under shard_map (see
     render_image_pallas_sharded's respawn flag). PIXEL slots are split over
@@ -237,10 +231,8 @@ def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
         # The respawn optimum (4), NOT the one-shot kernel's heuristic — a
         # sharded respawn render must run the same schedule as single-chip.
         sync_every = auto_sync_every(spheres.count, respawn=True)
-    use_cull = bounds is not None
 
-    def local(spheres, bounds, camera):
-        bounds = bounds if use_cull else None
+    def local(spheres, camera):
         i = jax.lax.axis_index(axis_name).astype(jnp.int32)
         j = (jax.lax.axis_index(sample_axis).astype(jnp.int32)
              if sample_axis else jnp.int32(0))
@@ -249,7 +241,7 @@ def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
         span = jnp.stack([j * spp_loc, (j + 1) * spp_loc]).reshape(1, 2)
         (rr, rg, rb), nr = trace_pallas_respawn(
             spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
-            unroll=unroll, bounds=bounds, chunk_size=chunk_size,
+            unroll=unroll,
             sync_every=sync_every, interpret=interpret,
             num_pixels=cfg.num_pixels, sample_span=span)
         axes = (axis_name, sample_axis) if sample_axis else axis_name
@@ -261,11 +253,10 @@ def _render_respawn_sharded(spheres, bounds, camera, cfg, mesh, axis_name,
     spec = P(axis_name, sample_axis) if sample_axis else P(axis_name)
     rr, rg, rb, count = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P()),
         out_specs=(spec, spec, spec, P()),
         check_vma=False,
-    )(spheres, bounds if use_cull else jnp.zeros((4, 1), jnp.float32),
-      camera)
+    )(spheres, camera)
 
     gy, gx, th, tw = geom
 

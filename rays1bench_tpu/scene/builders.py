@@ -140,8 +140,48 @@ def create_large_scene(aspect: float, pad_multiple: int = 128) -> Scene:
     return Scene("large", cam, w.finalize(), n_real=w.count)
 
 
+def create_giant_scene(aspect: float, pad_multiple: int = 128) -> Scene:
+    """66x62 grid + ground + 3 big spheres = 4096 real rows — an 8.5x
+    stress scene with NO reference analog (the reference tops out at 484,
+    rayweek1.cpp:654-719; this is the "sphere counts grow ~16x" regime the
+    MXU probe memo names). Same material pattern and big-sphere layout as
+    the large scene; grid colors come from a fixed-seed PRNG instead of the
+    captured CRT byte table (which only covers 480 grid spheres). The
+    camera sits inside a field far wider than its frustum — the workload
+    chunk-bounds culling was built for (and, measured here, still lost on:
+    tools/culling_probe.py, records/culling.txt)."""
+    import random
+    cam = CameraSpec(lookfrom=(3, 8, 15), lookat=(0, 0, 0), vup=(0, 1, 0),
+                     vfov=60.0, aspect=aspect, aperture=0.1, focus_dist=10.0)
+    w = _W(pad_multiple)
+    rng = random.Random(111)
+    W_, H_ = 66, 62
+    for y in range(H_):
+        for x in range(W_):
+            i = x + y * W_
+            px, py, pz = (x - W_ // 2) * 1.1, 0.0, (y - H_ // 2) * 1.1
+            r = rng.randrange(256) / 255.0
+            g = rng.randrange(256) / 255.0
+            b = rng.randrange(256) / 255.0
+            if i % 20 == 0:
+                # Large's 1.2 + 0.05*i walks unbounded; wrap to the physical
+                # 1.2..2.4 band so deep-grid glass stays glass-like.
+                w.dielectric((px, py, pz), 0.45, 1.2 + (i % 24) * 0.05)
+            elif i % 10 == 0:
+                w.metal((px, py + 0.1, pz), 0.45, (r, g, b),
+                        0.01 + 0.5 * y / float(H_))
+            else:
+                w.lambertian((px, py, pz), 0.45, (r, g, b))
+    w.lambertian((0, -1000.5, 0), 1000, (0.5, 0.5, 0.5))
+    w.metal((5, 3, 0), 2, (0.5, 0.5, 0.8), 0.65)
+    w.dielectric((0, 3, 0), 2, 1.5)
+    w.metal((-5, 3, 0), 2, (0.8, 0.2, 0.2), 0.05)
+    return Scene("giant", cam, w.finalize(), n_real=w.count)
+
+
 SCENES: Dict[str, Callable[..., Scene]] = {
     "small": create_small_scene,
     "medium": create_medium_scene,
     "large": create_large_scene,
+    "giant": create_giant_scene,
 }

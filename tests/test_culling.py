@@ -1,5 +1,7 @@
-"""Culling metadata tests (kernels/culling.py): Morton ordering and
-conservative chunk bounds."""
+"""Sort-trim metadata tests (kernels/culling.py): Morton ordering. (The
+chunk-bounds culled intersector was measured out on both the 512-row large
+and 4096-row giant scenes and removed — megakernel._make_intersect
+docstring, records/culling.txt.)"""
 
 import numpy as np
 
@@ -39,41 +41,40 @@ def test_morton_order_groups_spatially():
     assert mean_step(perm) < 0.5 * mean_step(np.arange(256))
 
 
-def test_chunk_bounds_contain_spheres():
-    cx, cy, cz, r = _random_spheres(128, seed=7)
-    valid = r != 0
-    perm = culling.morton_order(cx, cy, cz, valid)
-    cx, cy, cz, r = cx[perm], cy[perm], cz[perm], r[perm]
-    bounds = culling.chunk_bounds(cx, cy, cz, r, valid[perm], 32)
-    assert bounds.shape == (4, 4)
-    for c in range(4):
-        bcx, bcy, bcz, brsq = bounds[:, c]
-        br = np.sqrt(brsq)
-        sl = slice(c * 32, (c + 1) * 32)
-        d = np.sqrt((cx[sl] - bcx) ** 2 + (cy[sl] - bcy) ** 2
-                    + (cz[sl] - bcz) ** 2) + np.abs(r[sl])
-        assert (d <= br + 1e-4).all(), c
+def test_giant_scene_all_engines_match_xla():
+    """The 4096-sphere stress scene (builders.create_giant_scene — 8.5x the
+    reference's largest; no reference analog) renders through the megakernel
+    matching the dense-XLA pipeline to the documented 8-bit albedo
+    quantization, with EXACT ray counts, under both sort_trim and raw row
+    order."""
+    import functools
+    import jax
+    from rays1bench_tpu.core.config import RenderConfig
+    from rays1bench_tpu.kernels import pipeline as kp
+    from rays1bench_tpu.render.pipeline import render_image
+    from rays1bench_tpu.scene.builders import create_giant_scene
 
+    cfg = RenderConfig(width=48, height=24, spp=1, max_bounces=3,
+                       early_exit=False, ray_chunk=2048)
+    scene = create_giant_scene(cfg.aspect)
+    assert scene.n_real == 4096
+    camera = scene.camera.build()
+    ref, n_ref = render_image(scene.spheres, camera, cfg)
 
-def test_chunk_bounds_placeholder_chunk_poisoned():
-    n = 64
-    cx = np.zeros(n, np.float32)
-    cy = np.zeros(n, np.float32)
-    cz = np.zeros(n, np.float32)
-    r = np.zeros(n, np.float32)
-    r[:10] = 0.5  # only first chunk has real spheres
-    bounds = culling.chunk_bounds(cx, cy, cz, r, r != 0, 32)
-    assert bounds[3, 0] > 0          # real chunk: positive radius^2
-    assert bounds[3, 1] < -1e29      # placeholder chunk: poisoned
-
-
-def test_negative_radius_included_in_bounds():
-    """Hollow-glass (negative radius) spheres occupy |radius| of space."""
-    cx = np.array([0.0, 5.0], np.float32)
-    cy = np.zeros(2, np.float32)
-    cz = np.zeros(2, np.float32)
-    r = np.array([-2.0, 0.5], np.float32)
-    bounds = culling.chunk_bounds(cx, cy, cz, r, r != 0, 2)
-    br = np.sqrt(bounds[3, 0])
-    # bound must reach x = -2 (left edge of the hollow sphere)
-    assert bounds[0, 0] - br <= -2.0 + 1e-3
+    origs = (kp.trace_pallas, kp.trace_pallas_wavefront)
+    kp._render_jit._clear_cache()
+    try:
+        kp.trace_pallas = functools.partial(origs[0], interpret=True)
+        kp.trace_pallas_wavefront = functools.partial(origs[1],
+                                                      interpret=True)
+        for cull in ("sort_trim", "none"):
+            img, n = kp.render_image_pallas(
+                scene.spheres, camera, cfg, tile_rays=512, unroll=64,
+                cull=cull, n_real=scene.n_real)
+            assert int(n) == int(n_ref), cull
+            # max_bounces x 0.5/255 albedo quantization bound
+            d = np.abs(np.asarray(img) - np.asarray(ref)).max()
+            assert d < 8e-3, (cull, d)
+    finally:
+        kp.trace_pallas, kp.trace_pallas_wavefront = origs
+        kp._render_jit._clear_cache()

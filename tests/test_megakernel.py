@@ -95,10 +95,10 @@ def test_pipeline_matches_xla_pipeline():
     kp._render_jit._clear_cache()
     try:
         kp.trace_pallas = functools.partial(orig, interpret=True)
-        for cull in ("none", "sort_trim", "bounds"):
+        for cull in ("none", "sort_trim"):
             img, n = kp.render_image_pallas(scene.spheres, cam, cfg,
                                             tile_rays=1024, unroll=4,
-                                            cull=cull, chunk_size=32)
+                                            cull=cull)
             assert int(n) == int(n_ref), cull
             d = np.abs(np.asarray(img) - np.asarray(ref))
             assert d.max() < 0.02 and d.mean() < 2e-3, cull
@@ -159,7 +159,7 @@ def test_wavefront_pipeline_end_to_end():
 
 @pytest.mark.parametrize("builder,spp,cull", [
     (create_small_scene, 8, "sort_trim"),
-    (create_small_scene, 4, "bounds"),
+    (create_small_scene, 4, "sort_trim"),
     (create_medium_scene, 2, "none"),
 ])
 def test_respawn_pipeline_matches_oneshot(builder, spp, cull):
@@ -179,7 +179,7 @@ def test_respawn_pipeline_matches_oneshot(builder, spp, cull):
     try:
         kp.trace_pallas = functools.partial(orig_one, interpret=True)
         kp.trace_pallas_respawn = functools.partial(orig_resp, interpret=True)
-        kw = dict(tile_rays=1024, unroll=4, cull=cull, chunk_size=32,
+        kw = dict(tile_rays=1024, unroll=4, cull=cull,
                   n_real=scene.n_real)
         ref, n_ref = kp.render_image_pallas(scene.spheres, cam, cfg, **kw)
         img, n = kp.render_image_pallas(scene.spheres, cam, cfg,

@@ -100,15 +100,14 @@ def test_pallas_sharded_matches_single_device(scene_and_camera):
 
 def test_pallas_sharded_full_feature_surface(scene_and_camera):
     """Every single-chip megakernel flag works under shard_map with a
-    bit-identical image (round-1 verdict item 7): bounds culling, wavefront
-    compaction schedules, sync_every, and their composition."""
+    bit-identical image (round-1 verdict item 7): wavefront compaction
+    schedules, sync_every, and their composition."""
     from rays1bench_tpu.parallel.shard import render_image_pallas_sharded
 
     scene, camera = scene_and_camera
     cases = [
-        dict(cull="bounds", chunk_size=8),
         dict(wavefront=(2, 6)),
-        dict(cull="bounds", chunk_size=8, wavefront=(1, 2, 8)),
+        dict(cull="sort_trim", wavefront=(1, 2, 8)),
         dict(cull="none", sync_every=2),
     ]
     for kw in cases:

@@ -13,8 +13,9 @@ running the same bitwise identities ON HARDWARE (round-2 verdict item 7):
   2. sync_every 1 vs 3 (early-exit check cadence): BITWISE identical —
      overshoot bounces past the last live lane are semantically free
      (megakernel._kernel `body`).
-  3. bounds culling vs dense sweep: BITWISE identical — skipping chunks no
-     ray can hit cannot change the closest hit.
+  3. cull="none" (raw row order, padding swept) vs sort_trim: BITWISE
+     identical — row order and placeholder rows cannot change the closest
+     hit (ties are measure-zero; placeholders never hit).
   4. respawn vs one-shot: EXPECTED ULP-LEVEL drift, bounded. The respawn
      kernel traces raygen (camera + jitter) INSIDE Mosaic while the one-shot
      path raygens in XLA; compiled transcendental/rsqrt sequences differ by
@@ -91,8 +92,8 @@ def main():
           np.array_equal(s3, base) and n_s3 == n_base,
           f"maxdiff={np.abs(s3 - base).max():.3g} rays {n_s3} vs {n_base}")
 
-    cu, n_cu = run(cull="bounds")
-    check("cull=bounds == dense sweep (bitwise)",
+    cu, n_cu = run(cull="none")
+    check("cull=none == sort_trim (bitwise)",
           np.array_equal(cu, base) and n_cu == n_base,
           f"maxdiff={np.abs(cu - base).max():.3g} rays {n_cu} vs {n_base}")
 

@@ -6,7 +6,7 @@ Usage:
       --variants "tile=2048,unroll=16" "tile=2048,unroll=16,wf=2:3:6"
 
 Each variant string is comma-separated key=value with keys:
-  tile, unroll, cull (sort_trim|bounds|none), chunk, wf (colon-separated
+  tile, unroll, cull (sort_trim|none), wf (colon-separated
   per-phase bounce budgets, e.g. 2:3:6).
 """
 import argparse
@@ -27,8 +27,6 @@ def parse_variant(s):
             kw["unroll"] = int(v)
         elif k == "cull":
             kw["cull"] = v
-        elif k == "chunk":
-            kw["chunk_size"] = int(v)
         elif k == "wf":
             kw["wavefront"] = tuple(int(x) for x in v.split(":"))
         elif k == "sync":
