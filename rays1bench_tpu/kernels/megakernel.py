@@ -109,14 +109,29 @@ def _cam_from_smem(cam_smem):
 
 def _make_intersect(spheres_smem, *, num_spheres: int,
                     t_min: float, sub: int, unroll: int,
-                    carry_index: bool = False):
+                    carry_index: bool = False, soft_eps: float = 0.0):
     """Build the closest-hit sweep closure over the sphere SMEM refs.
 
     Shared by every megakernel variant (_kernel, _phase_kernel,
     _respawn_kernel). Returns isect(ox..dz) -> (best_t, cx, cy, cz, inv_r,
-    albedo_packed, mat_packed[, idx]). carry_index adds the winning sphere's
-    SMEM row index as an 8th f32 carry (one extra select per sphere) — the
-    topology the megakernel-forward gradient path emits (grad/mega.py).
+    albedo_packed, mat_packed[, rsq][, idx]). carry_index adds the winning
+    sphere's SMEM row index as an extra f32 carry (one extra select per
+    sphere) — the topology the megakernel-forward gradient path emits
+    (grad/mega.py).
+
+    soft_eps > 0 (the soft-silhouette gradient forward): the payload also
+    carries radius_sq, and a SECOND sweep finds each lane's best NEAR MISS —
+    the sphere with the largest (least negative) silhouette coordinate
+    edge = |r| - b among spheres the ray misses (edge <= 0) whose closest
+    approach nb lies in (t_min, t_hit) — the in-kernel twin of
+    render/intersect._near_miss_index (same formulas, same first-wins tie
+    order over the same row order with cull="none"). Grazing lanes inside
+    the sigmoid band are PROMOTED: the winner payload, t (= nb, where the
+    roots meet), and topology index are replaced by the grazed sphere's.
+    Two passes are required because the graze test needs the FINAL t_hit;
+    a running-t_hit single pass would accept grazes later invalidated by a
+    nearer hit. Cost ~2x the sweep — soft mode is the silhouette-fitting
+    path, not the headline renderer.
 
     The sweep is always DENSE over the (Morton-sorted, placeholder-trimmed)
     rows — the reference's own shape (rayweek1.cpp:190-226 tests every
@@ -130,7 +145,8 @@ def _make_intersect(spheres_smem, *, num_spheres: int,
     never fires. Removed; the probe and records keep the negative result."""
     zero = jnp.zeros((sub, LANES), jnp.float32)
     tmin_c = np.float32(t_min)
-    ncarry = 8 if carry_index else 7
+    ncarry = 7 + (1 if soft_eps else 0) + (1 if carry_index else 0)
+    _RSQ_POS = 7  # rsq carry slot (soft mode); idx is always last
 
     def make_sphere_step(ox, oy, oz, dx, dy, dz):
         """Per-sphere running (best_t, payload) update, ~26 VPU ops over the

@@ -163,9 +163,12 @@ def trace(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, seed, ray_id,
             # the backward silently rematerializes the full bounce chain.
             idx = checkpoint_name(idx, "hit_idx")
             hit = checkpoint_name(hit, "hit_mask")
+            # promote=False: soft topology from the forward is already
+            # promoted; the replay only rebuilds the differentiable soft
+            # fields (cover, far exit) from the recorded indices.
             return hit_record_from_index(ox_, oy_, oz_, dx_, dy_, dz_, sph,
                                          idx, hit, tmin_static,
-                                         soft_eps=soft_eps)
+                                         soft_eps=soft_eps, promote=False)
     # Initial carries derive from ox (not fresh constants) so that under
     # shard_map they inherit the rays axis's "varying" type and the loop
     # carry types stay consistent.

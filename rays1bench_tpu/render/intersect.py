@@ -228,7 +228,8 @@ def _near_miss_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
 
 def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
                           best, hit, t_min: float,
-                          soft_eps: float = 0.0) -> HitRecord:
+                          soft_eps: float = 0.0,
+                          promote: bool = True) -> HitRecord:
     """Stage 2: differentiable hit record given the winning sphere index.
 
     O(N) recompute of t/p/normal from the chosen sphere's parameters, so
@@ -246,9 +247,16 @@ def hit_record_from_index(ox, oy, oz, dx, dy, dz, spheres: PreparedSpheres,
     winning sphere or passes through it from (px2, py2, pz2), which makes the
     analytic silhouette gradient an unbiased estimate of the relaxation's
     true derivative — against the real background, not a sky proxy — instead
-    of the one-sided estimator's ~half magnitude."""
+    of the one-sided estimator's ~half magnitude.
+
+    promote=False skips the near-miss promotion but still builds the soft
+    fields (cover, far exit) from the given indices — topology-REPLAY mode
+    (integrator.trace), where `best`/`hit` come from a soft forward that
+    already promoted (the megakernel's in-kernel graze sweep,
+    kernels/megakernel._make_intersect soft_eps); re-promoting on top would
+    compound the relaxation."""
     j = jax.lax.stop_gradient(best)
-    if soft_eps:
+    if soft_eps and promote:
         j_near, near = _near_miss_index(ox, oy, oz, dx, dy, dz, spheres,
                                         hit, best, t_min, soft_eps)
         j = jnp.where(near, j_near, j)
