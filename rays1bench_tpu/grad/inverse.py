@@ -74,22 +74,23 @@ def _pick_engine(spheres: SphereSOA, cfg: RenderConfig, mesh, engine: str
     """Resolve engine="auto".
 
     "mega" = megakernel forward + fused Pallas backward (grad/mega.py +
-    kernels/mega_backward.py) — the production gradient engine on TPU for
-    the hard renderer: one Pallas dispatch each way instead of ~30 N-sized
-    HBM round trips per bounce per direction (PARITY.md). It requires hard
-    shading (the megakernel ignores cfg.soft_silhouette) and <= 64 sphere
-    rows (the fused kernel's one-hot accumulator budget); with a mesh,
-    explicit engine="mega" runs the sharded fused path
+    kernels/mega_backward.py) — the production gradient engine on TPU, hard
+    AND soft: one Pallas dispatch each way instead of ~30 N-sized HBM round
+    trips per bounce per direction (PARITY.md). With cfg.soft_silhouette
+    the forward runs the soft two-branch estimator in-kernel (graze
+    promotion sweep, megakernel._make_intersect) and the fused backward
+    differentiates it at the recorded promoted topology. Requires <= 64
+    sphere rows (the fused kernel's one-hot accumulator budget); with a
+    mesh, explicit engine="mega" runs the sharded fused path
     (grad/mega.render_image_mega_sharded — auto stays on the pipeline
     there). "pipeline" = the XLA fixed-trip renderer with the
-    Pallas index intersector + remat — the semantic reference, the soft/
-    silhouette path, and the sharded path. auto keeps CPU (tests, dryruns)
-    on the pipeline so interpreter-mode Pallas stays opt-in."""
+    Pallas index intersector + remat — the semantic reference and the
+    sharded-auto path. auto keeps CPU (tests, dryruns) on the pipeline so
+    interpreter-mode Pallas stays opt-in."""
     if engine != "auto":
         return engine
     from rays1bench_tpu.kernels.mega_backward import MAX_SPHERES
-    if (mesh is None and not cfg.soft_silhouette
-            and spheres.radius.shape[0] <= MAX_SPHERES
+    if (mesh is None and spheres.radius.shape[0] <= MAX_SPHERES
             and jax.default_backend() != "cpu"):
         return "mega"
     return "pipeline"

@@ -24,10 +24,16 @@ the replay's value differ by ULPs on boundary lanes (Mosaic vs XLA float
 sequences); in interpreter/CPU mode they agree exactly
 (tests/test_grad.py::test_mega_grad_matches_pipeline).
 
-Limits: hard renderer only (the megakernel ignores cfg.soft_silhouette —
-geometry/silhouette fitting stays on the XLA path, grad/inverse.py), and
-scenes should be tightly padded (pad_multiple=8): topology indices are raw
-SoA rows, so the forward runs cull="none".
+cfg.soft_silhouette is supported end to end (round 4): the megakernel
+forward traces the soft two-branch estimator in-kernel (graze-promotion
+sweep + branch draw, kernels/megakernel._make_bounce), topology records
+the PROMOTED indices, and both backwards differentiate the soft estimator
+at that fixed topology (promote=False replay semantics — integrator.trace
+/ kernels/mega_backward._bounce_core).
+
+Limits: scenes should be tightly padded (pad_multiple=8): topology indices
+are raw SoA rows, so the forward runs cull="none"; the fused backward caps
+at 64 sphere rows (kernels/mega_backward.MAX_SPHERES).
 """
 
 from __future__ import annotations
@@ -48,12 +54,13 @@ from rays1bench_tpu.render.pipeline import render_image
 
 def _replay_cfg(cfg: RenderConfig) -> RenderConfig:
     """The replay is fixed-trip by construction and must not build the
-    Pallas index intersector (topology replaces it). soft_silhouette is
-    stripped too — the megakernel forward renders the HARD estimator, so a
-    soft backward over its topology would differentiate a different
-    estimator than the primal (render_image_mega asserts it is off)."""
-    return cfg.replace(early_exit=False, pallas_intersect=False,
-                       soft_silhouette=0.0)
+    Pallas index intersector (topology replaces it). cfg.soft_silhouette
+    passes through: the megakernel forward now renders the SAME soft
+    two-branch estimator in-kernel (megakernel._make_bounce soft_eps), its
+    topology records the promoted indices, and the replay rebuilds the
+    differentiable soft fields from them without re-promoting
+    (integrator.trace replay intersector, promote=False)."""
+    return cfg.replace(early_exit=False, pallas_intersect=False)
 
 
 @functools.lru_cache(maxsize=16)
@@ -335,9 +342,6 @@ def render_image_mega_sharded(spheres_soa, camera, cfg: RenderConfig, mesh,
     + fused Pallas backward (see _make_fused_sharded). Same contract as
     render_image_mega, with slots sharded over `mesh`'s `axis_name` axis and
     the sphere-gradient all-reduce riding one psum."""
-    assert not cfg.soft_silhouette, (
-        "render_image_mega_sharded is the HARD renderer (see "
-        "render_image_mega)")
     return _make_fused_sharded(cfg, interpret, tile_rays, mesh,
                                axis_name)(spheres_soa, camera)
 
@@ -355,6 +359,12 @@ def render_image_mega(spheres_soa, camera, cfg: RenderConfig,
     cfg.early_exit is irrelevant (the megakernel always early-exits;
     gradients are defined by the fixed-topology replay).
 
+    cfg.soft_silhouette > 0 runs the soft two-branch estimator INSIDE the
+    megakernel (graze promotion + branch draw traced in-kernel,
+    kernels/megakernel._make_bounce) with topology recording the promoted
+    indices; the backward — fused or replay — differentiates the soft
+    estimator at that fixed topology (promote=False replay semantics).
+
     fused=True (default): run the backward through the fused Pallas kernel
     (kernels/mega_backward.py — the whole bounce chain forward+reverse in
     VMEM); fused=False keeps the XLA replay backward (jax.vjp over
@@ -362,11 +372,6 @@ def render_image_mega(spheres_soa, camera, cfg: RenderConfig,
     tested against. The fused path additionally uses EXACT albedos in both
     the replayed forward and backward (the replay path's cotangent passes
     through the megakernel primal's 8-bit albedo image)."""
-    assert not cfg.soft_silhouette, (
-        "render_image_mega is the HARD renderer: the megakernel forward "
-        "ignores cfg.soft_silhouette, so soft gradients here would belong "
-        "to a different estimator than the primal — use the XLA path "
-        "(grad/inverse.py) for silhouette fitting")
     if fused:
         return _make_fused(cfg, interpret, tile_rays)(spheres_soa, camera)
     return _make(cfg, interpret)(spheres_soa, camera)

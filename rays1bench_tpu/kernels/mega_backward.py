@@ -84,14 +84,22 @@ def _pack_exact(prep: PreparedSpheres) -> jax.Array:
 
 
 def _bounce_core(o, d, a, cols, mt, hit, alive, cont, b, ray_id, seed_c,
-                 t_min, max_bounces):
+                 t_min, max_bounces, soft_eps: float = 0.0):
     """One differentiable replay bounce on per-lane values.
 
     Mirrors render/intersect.hit_record_from_index's O(N) chain plus
-    render/integrator._bounce_step's state update (hard renderer), with the
-    per-lane sphere columns `cols` (10 planes) as the differentiable leaves.
-    `cont=None` computes the continue mask (forward pass); the backward
-    passes the recorded one so the vjp'd closure has no boolean outputs.
+    render/integrator._bounce_step's state update, with the per-lane sphere
+    columns `cols` (10 planes) as the differentiable leaves. `cont=None`
+    computes the continue mask (forward pass); the backward passes the
+    recorded one so the vjp'd closure has no boolean outputs.
+
+    soft_eps > 0: the detached two-branch soft-silhouette estimator at the
+    recorded (already-promoted) topology — the same promote=False replay
+    semantics as integrator.trace: cover and the far exit rebuild
+    differentiably from the chosen sphere's columns, the branch draw
+    recomputes from the stateless RNG, and the branch weights carry the
+    score term cover/sg(cover) whose derivative is the silhouette-motion
+    gradient.
 
     Returns (o', d', a', radd, cont).
     """
@@ -113,12 +121,49 @@ def _bounce_core(o, d, a, cols, mt, hit, alive, cont, b, ray_id, seed_c,
     nx = (px - cx) * ivr
     ny = (py - cy) * ivr
     nz = (pz - cz) * ivr
+    cover = None
+    px2 = py2 = pz2 = None
+    if soft_eps:
+        # intersect.hit_record_from_index's soft chain: world-unit edge
+        # coordinate, sigmoid cover, far-exit resume point, renormalized
+        # near-miss normals.
+        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                            1e-20))
+        nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
+        b_imp = jnp.sqrt(jnp.maximum(c + rsq - nb * nb, 1e-20))
+        edge = jnp.sqrt(jnp.maximum(rsq, 0.0)) - b_imp
+        cover = jax.nn.sigmoid(edge * jnp.float32(1.0 / soft_eps))
+        t2 = nb + sq
+        px2 = ox + t2 * dx
+        py2 = oy + t2 * dy
+        pz2 = oz + t2 * dz
     rec = HitRecord(hit=hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                     mat_type=mt, albedo_x=alx, albedo_y=aly, albedo_z=alz,
                     fuzz=fz, ref_idx=ri)
 
     (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed_c,
                                              ray_id, b)
+    hx, hy, hz = px, py, pz
+    if soft_eps:
+        # Detached two-branch estimator (integrator._bounce_step).
+        from rays1bench_tpu.core import rng as rng_mod
+        sg = jax.lax.stop_gradient
+        u = rng_mod.uniform01(seed_c, ray_id, b,
+                              rng_mod.Slots.SILHOUETTE_P)
+        cov_sg = sg(cover)
+        take = u < cov_sg
+        w_b = cover / jnp.maximum(cov_sg, 1e-20)
+        w_t = (1.0 - cover) / jnp.maximum(1.0 - cov_sg, 1e-20)
+        sx = jnp.where(take, sx, dx)
+        sy = jnp.where(take, sy, dy)
+        sz = jnp.where(take, sz, dz)
+        mr = jnp.where(take, mr * w_b, w_t)
+        mg = jnp.where(take, mg * w_b, w_t)
+        mb = jnp.where(take, mb * w_b, w_t)
+        ok = (take & ok) | ~take
+        hx = jnp.where(take, hx, px2)
+        hy = jnp.where(take, hy, py2)
+        hz = jnp.where(take, hz, pz2)
 
     skr, skg, skb = sky_color(dx, dy, dz)
     miss = alive & ~hit
@@ -128,8 +173,8 @@ def _bounce_core(o, d, a, cols, mt, hit, alive, cont, b, ray_id, seed_c,
 
     if cont is None:
         cont = alive & hit & ok & (b < max_bounces)
-    o2 = (jnp.where(cont, px, ox), jnp.where(cont, py, oy),
-          jnp.where(cont, pz, oz))
+    o2 = (jnp.where(cont, hx, ox), jnp.where(cont, hy, oy),
+          jnp.where(cont, hz, oz))
     d2 = (jnp.where(cont, sx, dx), jnp.where(cont, sy, dy),
           jnp.where(cont, sz, dz))
     a2 = (jnp.where(cont, ar * mr, ar), jnp.where(cont, ag * mg, ag),
@@ -142,7 +187,7 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 grads_ref, cox_ref, coy_ref, coz_ref,
                 cdx_ref, cdy_ref, cdz_ref, acc_ref, *,
                 num_spheres: int, max_bounces: int, t_min: float, seed: int,
-                n_rays: int, sub: int):
+                n_rays: int, sub: int, soft_eps: float = 0.0):
     i = pl.program_id(0)
     nt = pl.num_programs(0)
     zero = jnp.zeros((sub, LANES), jnp.float32)
@@ -202,7 +247,7 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             mt = cols[NUM_GRAD].astype(jnp.int32)
             o2, d2, a2, _, cont = _bounce_core(
                 o, d, a, tuple(cols[:NUM_GRAD]), mt, hit, alive, None, b,
-                ray_id, seed_c, tmin_c, max_bounces)
+                ray_id, seed_c, tmin_c, max_bounces, soft_eps=soft_eps)
             write_state(b + 1, o2, d2, a2, cont)
             return (b + 1, jnp.max(jnp.where(cont, 1, 0)))
 
@@ -231,7 +276,7 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 cols_ = leaves[9:9 + NUM_GRAD]
                 o2, d2, a2, radd, _ = _bounce_core(
                     o_, d_, a_, cols_, mt, hit, alive, cont, b, ray_id,
-                    seed_c, tmin_c, max_bounces)
+                    seed_c, tmin_c, max_bounces, soft_eps=soft_eps)
                 return o2 + d2 + a2 + radd
 
             primals = o + d + a + tuple(cols[:NUM_GRAD])
@@ -326,6 +371,7 @@ def backward_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         seed=cfg.seed,
         n_rays=n_active,
         sub=sub,
+        soft_eps=float(cfg.soft_silhouette),
     )
     outs = pl.pallas_call(
         kernel,

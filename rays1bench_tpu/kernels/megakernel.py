@@ -180,12 +180,57 @@ def _make_intersect(spheres_smem, *, num_spheres: int,
             alb = jnp.where(better, spheres_smem[_ALB, s], alb)
             mtp = jnp.where(better, spheres_smem[_MTP, s], mtp)
             out = (bt, cx, cy, cz, ivr, alb, mtp)
+            if soft_eps:
+                out += (jnp.where(better, rsq, carry[_RSQ_POS]),)
             if carry_index:
                 # Exact in f32 (sphere counts are << 2^24).
                 s_f = jax.lax.convert_element_type(s, jnp.float32)
-                out += (jnp.where(better, s_f, carry[7]),)
+                out += (jnp.where(better, s_f, carry[ncarry - 1]),)
             return out
         return one_sphere
+
+    def make_graze_step(ox, oy, oz, dx, dy, dz, t_hit):
+        """Per-sphere running best-NEAR-MISS update (soft mode, sweep 2) —
+        the in-kernel twin of render/intersect._near_miss_index: among
+        spheres the ray MISSES (edge = |r| - b <= 0) with closest approach
+        nb in (t_min, t_hit), keep the largest edge ('>' keeps the first
+        maximum, matching jnp.argmax's tie order). The payload mirrors the
+        main sweep's (edge replaces bt; nb rides in the rsq-neighbor slot
+        order below) so the promotion merge is a flat select."""
+        def one_graze(s, carry):
+            (be, cx, cy, cz, ivr, alb, mtp, rsq_c, nb_c) = carry[:9]
+            scx = spheres_smem[_CX, s]
+            scy = spheres_smem[_CY, s]
+            scz = spheres_smem[_CZ, s]
+            rsq = spheres_smem[_RSQ, s]
+            cox = scx - ox
+            coy = scy - oy
+            coz = scz - oz
+            nb = cox * dx + coy * dy + coz * dz
+            co2 = cox * cox + coy * coy + coz * coz
+            # Same edge coordinate as _near_miss_index (world units).
+            edge = jnp.sqrt(jnp.maximum(rsq, 0.0)) - \
+                jnp.sqrt(jnp.maximum(co2 - nb * nb, 1e-20))
+            # rsq > -1e29 masks the poisoned placeholder rows (the XLA
+            # sweep's spheres.valid test).
+            graze = ((rsq > -1e29) & (nb > tmin_c) & (edge <= 0.0)
+                     & (nb < t_hit))
+            better = graze & (edge > be)
+            be = jnp.where(better, edge, be)
+            cx = jnp.where(better, scx, cx)
+            cy = jnp.where(better, scy, cy)
+            cz = jnp.where(better, scz, cz)
+            ivr = jnp.where(better, spheres_smem[_INVR, s], ivr)
+            alb = jnp.where(better, spheres_smem[_ALB, s], alb)
+            mtp = jnp.where(better, spheres_smem[_MTP, s], mtp)
+            rsq_c = jnp.where(better, rsq, rsq_c)
+            nb_c = jnp.where(better, nb, nb_c)
+            out = (be, cx, cy, cz, ivr, alb, mtp, rsq_c, nb_c)
+            if carry_index:
+                s_f = jax.lax.convert_element_type(s, jnp.float32)
+                out += (jnp.where(better, s_f, carry[9]),)
+            return out
+        return one_graze
 
     _INIT = lambda: (zero + _INF,) + (zero,) * (ncarry - 1)
 
@@ -204,7 +249,33 @@ def _make_intersect(spheres_smem, *, num_spheres: int,
             return carry
 
         assert num_spheres % unroll == 0, (num_spheres, unroll)
-        return jax.lax.fori_loop(0, num_spheres // unroll, group, _INIT())
+        best = jax.lax.fori_loop(0, num_spheres // unroll, group, _INIT())
+        if not soft_eps:
+            return best
+
+        # ---- soft mode: graze sweep + promotion merge ------------------- #
+        one_graze = make_graze_step(ox, oy, oz, dx, dy, dz, best[0])
+        ngr = 10 if carry_index else 9
+        ginit = (zero - _INF,) + (zero,) * (ngr - 1)
+
+        def ggroup(g, carry):
+            s0 = g * unroll
+            for k in range(unroll):
+                carry = one_graze(s0 + k, carry)
+            return carry
+
+        gr = jax.lax.fori_loop(0, num_spheres // unroll, ggroup, ginit)
+        # Promote lanes grazing inside the band (intersect.py _NEAR_CUT).
+        near = gr[0] > np.float32(-9.2 * soft_eps)
+        # best payload -> (t, cx, cy, cz, ivr, alb, mtp, rsq[, idx]);
+        # graze payload -> (edge, same..., rsq, nb[, idx]). Promoted lanes
+        # take t = nb (the roots meet at the closest approach as disc -> 0).
+        merged = [jnp.where(near, gr[8], best[0])]
+        for i in range(1, 8):
+            merged.append(jnp.where(near, gr[i], best[i]))
+        if carry_index:
+            merged.append(jnp.where(near, gr[9], best[8]))
+        return tuple(merged) + (near,)
 
     return intersect
 
@@ -242,31 +313,102 @@ def _closest_hit_record(best, ox, oy, oz, dx, dy, dz):
     return hit, px, py, pz, rec
 
 
+def _soft_hit_record(best, ox, oy, oz, dx, dy, dz, t_min: float,
+                     soft_eps: float):
+    """Soft-mode hit record: rebuild t/p/normal AND the soft fields (cover,
+    far exit) from the merged winner payload via the exact formulas of
+    render/intersect.hit_record_from_index — bitwise XLA parity in
+    interpreter mode is the test contract (tests/test_megakernel.py).
+    `best` is the soft isect() tuple (t, cx, cy, cz, ivr, alb, mtp, rsq
+    [, idx], near); miss lanes carry the init-zeros payload, whose derived
+    fields are garbage but masked by hit=False at every consumer (the XLA
+    path's miss lanes read sphere 0's columns — equally masked)."""
+    from rays1bench_tpu.core.vecmath import safe_sqrt
+    (bt, cx, cy, cz, ivr, albp, mtp, rsq) = best[:8]
+    hit = bt < _BIG
+    tmin_c = np.float32(t_min)
+
+    gx, gy, gz = cx - ox, cy - oy, cz - oz
+    nb = gx * dx + gy * dy + gz * dz
+    c_j = gx * gx + gy * gy + gz * gz - rsq
+    sq = safe_sqrt(nb * nb - c_j)
+    t1 = nb - sq
+    t = jnp.where(t1 > tmin_c, t1, nb + sq)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    nx = (px - cx) * ivr
+    ny = (py - cy) * ivr
+    nz = (pz - cz) * ivr
+    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
+
+    b_imp = jnp.sqrt(jnp.maximum(c_j + rsq - nb * nb, 1e-20))
+    edge = jnp.sqrt(jnp.maximum(rsq, 0.0)) - b_imp
+    cover = jax.nn.sigmoid(edge * np.float32(1.0 / soft_eps))
+    t2 = nb + sq
+    px2 = ox + t2 * dx
+    py2 = oy + t2 * dy
+    pz2 = oz + t2 * dz
+
+    mt_f = jnp.floor(mtp * (1.0 / 32.0))
+    mt_i = mt_f.astype(jnp.int32)
+    mparam = mtp - mt_f * 32.0
+    a_r = jnp.floor(albp * (1.0 / 65536.0))
+    rem = albp - a_r * 65536.0
+    a_g = jnp.floor(rem * (1.0 / 256.0))
+    a_b = rem - a_g * 256.0
+    inv255 = np.float32(1.0 / 255.0)
+
+    rec = HitRecord(hit=hit, t=t, px=px, py=py, pz=pz,
+                    nx=nx, ny=ny, nz=nz, mat_type=mt_i,
+                    albedo_x=a_r * inv255, albedo_y=a_g * inv255,
+                    albedo_z=a_b * inv255,
+                    fuzz=mparam, ref_idx=jnp.where(mt_i == 2, mparam, 1.0),
+                    cover=cover, px2=px2, py2=py2, pz2=pz2)
+    return hit, px, py, pz, rec
+
+
 def _make_bounce(spheres_smem, ray_id, *, num_spheres: int,
                  max_bounces: int, t_min: float, seed: int, sub: int,
-                 unroll: int, topo_ref=None):
+                 unroll: int, topo_ref=None, soft_eps: float = 0.0):
     """Build the per-bounce wavefront update closure over the sphere SMEM refs.
 
     Shared by the one-shot megakernel (_kernel) and the resumable phase kernel
     (_phase_kernel). With `topo_ref` (VMEM (max_bounces+1, sub, LANES) i32),
     each bounce writes its per-lane hit topology plane: the winning sphere's
     row index for live hit lanes, -1 otherwise — consumed by the
-    megakernel-forward gradient replay (grad/mega.py)."""
+    megakernel-forward gradient replay (grad/mega.py).
+
+    soft_eps > 0: the soft-silhouette estimator, traced in-kernel — graze
+    promotion in the sweep (_make_intersect), then the detached two-branch
+    update of render/integrator._bounce_step: the lane bounces off the
+    winning sphere with probability cover, else passes through from the far
+    exit. Topology then records the PROMOTED index, which is what the
+    gradient replay consumes (promote=False re-promotion is skipped
+    there)."""
     seed_c = np.uint32(seed)
     isect = _make_intersect(spheres_smem,
                             num_spheres=num_spheres, t_min=t_min, sub=sub,
                             unroll=unroll,
-                            carry_index=topo_ref is not None)
+                            carry_index=topo_ref is not None,
+                            soft_eps=soft_eps)
+    idx_pos = 8 if soft_eps else 7
 
     def bounce(state):
         (b, ox, oy, oz, dx, dy, dz, ar, ag, ab, rr, rg, rb, alive, cnt) = state
         cnt = cnt + alive.astype(jnp.int32)
 
         best = isect(ox, oy, oz, dx, dy, dz)
-        hit, px, py, pz, rec = _closest_hit_record(
-            best, ox, oy, oz, dx, dy, dz)
+        if soft_eps:
+            hit, px, py, pz, rec = _soft_hit_record(
+                best, ox, oy, oz, dx, dy, dz, t_min, soft_eps)
+        else:
+            hit, px, py, pz, rec = _closest_hit_record(
+                best, ox, oy, oz, dx, dy, dz)
         if topo_ref is not None:
-            plane = jnp.where(alive & hit, best[7].astype(jnp.int32), -1)
+            plane = jnp.where(alive & hit,
+                              best[idx_pos].astype(jnp.int32), -1)
 
             # sync_every batching can overshoot to b = max_bounces + 1 (all
             # lanes provably dead there — cont requires b < max_bounces).
@@ -287,6 +429,28 @@ def _make_bounce(spheres_smem, ray_id, *, num_spheres: int,
 
         (sx, sy, sz), (mr, mg, mb), ok = scatter(dx, dy, dz, rec, seed_c,
                                                  ray_id, b)
+        if soft_eps:
+            # Detached two-branch estimator, identical update order to
+            # render/integrator._bounce_step's soft block (the kernel is
+            # the PRIMAL: cover/sg(cover) == 1 numerically, but the same
+            # expressions are kept so the image matches the XLA soft
+            # renderer bitwise in interpreter mode).
+            u = rng_mod.uniform01(seed_c, ray_id, b,
+                                  rng_mod.Slots.SILHOUETTE_P)
+            cov = rec.cover
+            take = u < cov
+            w_b = cov / jnp.maximum(cov, 1e-20)
+            w_t = (1.0 - cov) / jnp.maximum(1.0 - cov, 1e-20)
+            sx = jnp.where(take, sx, dx)
+            sy = jnp.where(take, sy, dy)
+            sz = jnp.where(take, sz, dz)
+            mr = jnp.where(take, mr * w_b, w_t)
+            mg = jnp.where(take, mg * w_b, w_t)
+            mb = jnp.where(take, mb * w_b, w_t)
+            ok = (take & ok) | ~take
+            px = jnp.where(take, px, rec.px2)
+            py = jnp.where(take, py, rec.py2)
+            pz = jnp.where(take, pz, rec.pz2)
         cont = alive & hit & ok & (b < max_bounces)
         ox = jnp.where(cont, px, ox)
         oy = jnp.where(cont, py, oy)
@@ -323,7 +487,7 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref,
             max_bounces: int, t_min: float, seed: int, n_rays: int,
             tile_rays: int, sub: int, unroll: int,
             sync_every: int = 1, debug_iters: bool = False,
-            emit_topology: bool = False):
+            emit_topology: bool = False, soft_eps: float = 0.0):
     k = 0
     topo_ref = None
     if emit_topology:
@@ -343,7 +507,7 @@ def _kernel(spheres_smem, ox_ref, oy_ref, oz_ref,
         bounce = _make_bounce(
             spheres_smem, ray_id, num_spheres=num_spheres,
             max_bounces=max_bounces, t_min=t_min, seed=seed, sub=sub,
-            unroll=unroll, topo_ref=topo_ref)
+            unroll=unroll, topo_ref=topo_ref, soft_eps=soft_eps)
         write_state, read_state = _state_io(st_ref)
 
         write_state((jnp.int32(0), ox_ref[...], oy_ref[...], oz_ref[...],
@@ -645,6 +809,7 @@ def trace_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
         sync_every=sync_every,
         debug_iters=debug_iters,
         emit_topology=emit_topology,
+        soft_eps=float(cfg.soft_silhouette),
     )
     out_specs = [
         ray_spec, ray_spec, ray_spec,
@@ -723,6 +888,9 @@ def trace_pallas_respawn(spheres: PreparedSpheres, camera: Camera, pid, x, y,
     """
     n = pid.shape[0]
     assert n % tile_lanes == 0, (n, tile_lanes)
+    assert not cfg.soft_silhouette, \
+        "the respawn engine is the HARD renderer (soft mode lives in the " \
+        "one-shot kernel, the gradient-forward path)"
     assert cfg.spp >= 1
     sub = tile_lanes // LANES
     num_tiles = n // tile_lanes
@@ -825,6 +993,9 @@ def trace_pallas_wavefront(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz,
     truncate paths).
     """
     n = ox.shape[0]
+    assert not cfg.soft_silhouette, \
+        "the wavefront engine is the HARD renderer (soft mode lives in " \
+        "the one-shot kernel, the gradient-forward path)"
     assert schedule, schedule
     assert n % tile_rays == 0, (n, tile_rays)
     assert n < (1 << 26), n

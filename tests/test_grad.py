@@ -418,3 +418,54 @@ def test_soft_grad_chunk_invariance():
         a, b = np.asarray(grads[4096][k]), np.asarray(grads[32768][k])
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
         assert rel < 1e-6, (k, rel)
+
+
+def test_soft_mega_matches_pipeline():
+    """The in-kernel soft-silhouette estimator (megakernel._make_bounce
+    soft_eps: graze-promotion sweep + detached two-branch draw) matches the
+    XLA soft renderer with EXACT ray counts (identical promotion and branch
+    decisions) and to albedo-quantization tolerance in values; its gradient
+    — via the replay backward AND the fused Pallas backward at the recorded
+    promoted topology — matches the pipeline's soft gradient to the same
+    ~0.1% the primal images differ by."""
+    from rays1bench_tpu.grad.mega import render_image_mega
+    from rays1bench_tpu.kernels.pipeline import render_image_pallas_topology
+    from rays1bench_tpu.render.pipeline import render_image
+
+    cfg = RenderConfig(width=64, height=32, spp=2, max_bounces=4, seed=7,
+                       early_exit=False, ray_chunk=8192,
+                       soft_silhouette=0.005)
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    cam = scene.camera.build()
+
+    ref, n_ref = render_image(scene.spheres, cam, cfg)
+    img, n, topo = render_image_pallas_topology(scene.spheres, cam, cfg,
+                                                interpret=True)
+    assert int(n) == int(n_ref)  # same promotion + branch decisions
+    d = np.abs(np.asarray(img) - np.asarray(ref)).max()
+    assert d < 8e-3, d  # bounces x 0.5/255 albedo quantization
+    assert (np.asarray(topo) >= 0).any()
+
+    names = ("center_x", "center_y", "radius")
+    params = params_of(scene.spheres, names)
+    params["center_x"] = params["center_x"].at[0].add(0.04)
+    params["radius"] = params["radius"].at[0].add(-0.02)
+
+    def loss_mega(p, fused):
+        img, _ = render_image_mega(with_params(scene.spheres, p), cam, cfg,
+                                   interpret=True, fused=fused)
+        return jnp.mean((img - 0.3) ** 2)
+
+    def loss_pipe(p):
+        img, _ = render_image(with_params(scene.spheres, p), cam, cfg)
+        return jnp.mean((img - 0.3) ** 2)
+
+    gp = jax.grad(loss_pipe)(params)
+    gr = jax.grad(loss_mega)(params, False)
+    gf = jax.grad(loss_mega)(params, True)
+    for k in names:
+        p_, r_, f_ = np.asarray(gp[k]), np.asarray(gr[k]), np.asarray(gf[k])
+        rel_rp = np.abs(r_ - p_).max() / (np.abs(p_).max() + 1e-12)
+        rel_fr = np.abs(f_ - r_).max() / (np.abs(r_).max() + 1e-12)
+        assert rel_rp < 0.02, (k, rel_rp)
+        assert rel_fr < 2e-3, (k, rel_fr)

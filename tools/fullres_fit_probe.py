@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--soft", type=float, default=0.005)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pipeline", "mega"])
     ap.add_argument("--record", default="")
     args = ap.parse_args()
 
@@ -68,7 +70,8 @@ def main():
 
     inv = InverseConfig(learning_rate=args.lr, steps=args.steps,
                         optimize=("center_x", "center_y", "radius"))
-    step, optimizer = make_train_step(pert, camera, cfg, inv)
+    step, optimizer = make_train_step(pert, camera, cfg, inv,
+                                      engine=args.engine)
     params = params_of(pert, inv.optimize)
     opt_state = optimizer.init(params)
 
@@ -104,7 +107,7 @@ def main():
     if args.record:
         os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
         label = (f"small {args.width}x{args.height} @ {args.spp} spp, soft "
-                 f"{args.soft:g}, {args.steps} steps")
+                 f"{args.soft:g}, {args.engine}, {args.steps} steps")
         res = " ".join(f"{k}={v * 100:.1f}%" for k, v in errs.items())
         with open(args.record, "a") as f:
             f.write(f"{label}|{elapsed:.1f}s|{args.steps / elapsed:.2f}|"
