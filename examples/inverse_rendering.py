@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--fit-geometry", action="store_true",
                     help="recover a moved/resized sphere via the "
                          "soft-silhouette renderer")
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pipeline", "mega"],
+                    help="gradient engine (grad/inverse._pick_engine): "
+                         "auto = the fused megakernel engine on TPU "
+                         "(hard AND soft — the in-kernel estimator + fused "
+                         "Pallas backward), the XLA pipeline on CPU")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +108,8 @@ def main():
 
     fitted, losses = fit_scene(perturbed, camera, target, cfg, inv,
                                verbose=True,
-                               checkpoint_path=args.checkpoint or None)
+                               checkpoint_path=args.checkpoint or None,
+                               engine=args.engine)
     print(f"loss {losses[0]:.3e} -> {losses[-1]:.3e} "
           f"({losses[0] / max(losses[-1], 1e-12):.0f}x reduction)")
     for n in names:

@@ -179,7 +179,7 @@ def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
               cfg: RenderConfig, inv: Optional[InverseConfig] = None,
               mesh=None, verbose: bool = False,
               checkpoint_path: Optional[str] = None,
-              checkpoint_every: int = 50):
+              checkpoint_every: int = 50, engine: str = "auto"):
     """Adam-fit scene parameters to a target image.
 
     With checkpoint_path set, optimizer state persists every
@@ -189,7 +189,8 @@ def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
     from rays1bench_tpu.grad import checkpoint as ckpt
 
     inv = inv or InverseConfig()
-    step, optimizer = make_train_step(spheres0, camera, cfg, inv, mesh)
+    step, optimizer = make_train_step(spheres0, camera, cfg, inv, mesh,
+                                      engine)
     params = params_of(spheres0, inv.optimize)
     opt_state = optimizer.init(params)
     start = 0

@@ -235,3 +235,39 @@ def test_mega_grad_sharded_matches_single():
         b = np.asarray(getattr(g1[1], f.name))
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
         assert rel < 1e-3, (f.name, rel)
+
+
+def test_mega_grad_sharded_soft():
+    """Multi-chip SOFT gradients: the sharded fused path with
+    cfg.soft_silhouette runs the in-kernel two-branch estimator per device
+    and matches the single-chip soft fused gradient to float summation
+    order — silhouette fitting composes with SPMD sharding."""
+    from rays1bench_tpu.grad.inverse import params_of, with_params
+    from rays1bench_tpu.grad.mega import (render_image_mega,
+                                          render_image_mega_sharded)
+
+    cfg = CFG.replace(max_bounces=3, seed=7, early_exit=False,
+                      soft_silhouette=0.005)
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    camera = scene.camera.build()
+    mesh = make_mesh(4)
+    names = ("center_x", "center_y", "radius")
+    params = params_of(scene.spheres, names)
+    params["center_x"] = params["center_x"].at[0].add(0.04)
+
+    def loss(p, sharded):
+        sph = with_params(scene.spheres, p)
+        if sharded:
+            img, _ = render_image_mega_sharded(sph, camera, cfg, mesh,
+                                               interpret=True)
+        else:
+            img, _ = render_image_mega(sph, camera, cfg, interpret=True)
+        return jnp.mean((img - 0.3) ** 2)
+
+    assert float(loss(params, False)) == float(loss(params, True))
+    g1 = jax.grad(loss)(params, False)
+    g2 = jax.grad(loss)(params, True)
+    for k in names:
+        a, b = np.asarray(g2[k]), np.asarray(g1[k])
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 1e-4, (k, rel)
