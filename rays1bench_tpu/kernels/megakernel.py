@@ -265,8 +265,11 @@ def _make_intersect(spheres_smem, *, num_spheres: int,
             return carry
 
         gr = jax.lax.fori_loop(0, num_spheres // unroll, ggroup, ginit)
-        # Promote lanes grazing inside the band (intersect.py _NEAR_CUT).
-        near = gr[0] > np.float32(-9.2 * soft_eps)
+        # Promote lanes grazing inside the band — the cutoff is the ONE
+        # defined next to the sigmoid it tails off (intersect._NEAR_CUT);
+        # test_soft_mega_matches_pipeline pins exact decision parity.
+        from rays1bench_tpu.render.intersect import _NEAR_CUT
+        near = gr[0] > np.float32(-_NEAR_CUT * soft_eps)
         # best payload -> (t, cx, cy, cz, ivr, alb, mtp, rsq[, idx]);
         # graze payload -> (edge, same..., rsq, nb[, idx]). Promoted lanes
         # take t = nb (the roots meet at the closest approach as disc -> 0).

@@ -119,10 +119,14 @@ def main():
     pert["albedo_y"] = params0["albedo_y"].at[0].add(0.04)
     pert["center_z"] = params0["center_z"].at[0].add(0.03)
     pert["radius"] = params0["radius"].at[0].add(-0.02)
-    target = render_for_loss(with_params(scene.spheres, pert), camera, cfg)
+    # engine="pipeline": FD baselines need the exact-albedo XLA renderer,
+    # not the megakernel primal's 8-bit albedo image (engine "auto" on TPU).
+    target = render_for_loss(with_params(scene.spheres, pert), camera, cfg,
+                             engine="pipeline")
 
     def loss(p):
-        img = render_for_loss(with_params(scene.spheres, p), camera, cfg)
+        img = render_for_loss(with_params(scene.spheres, p), camera, cfg,
+                              engine="pipeline")
         d = (img - target) ** 2
         return jnp.sum(d * wmask[:, :, None]) / jnp.sum(wmask)
 

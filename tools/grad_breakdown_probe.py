@@ -93,8 +93,11 @@ def main():
 
     def grad_loss(p, pallas):
         c = cfg.replace(pallas_intersect=pallas)
+        # engine="pipeline": this probe compares the XLA/Pallas-intersect
+        # pipeline variants; the default "auto" would reroute every case to
+        # the fused mega engine on TPU and time the same thing three times.
         loss, grads = jax.value_and_grad(image_loss)(
-            p, scene.spheres, camera, target, c)
+            p, scene.spheres, camera, target, c, None, "pipeline")
         # Fold the gradients into the returned scalar: returning only the
         # value lets XLA dead-code-eliminate the whole backward pass (it DID
         # — an earlier revision measured grad == forward to 0.1 ms).

@@ -73,9 +73,8 @@ def make_inputs(jax, tiles: int, seed: int = 7):
 
     scene = create_large_scene(1280.0 / 720.0)
     n_real = int(np.asarray(scene.spheres.radius != 0.0).sum())
-    spheres, _, _ = prepare_trimmed(scene.spheres, unroll=256,
-                                    cull="sort_trim", chunk_size=64,
-                                    n_real=n_real)
+    spheres, _ = prepare_trimmed(scene.spheres, unroll=256,
+                                 cull="sort_trim", n_real=n_real)
     S = spheres.count
     assert S % SB == 0, S
 

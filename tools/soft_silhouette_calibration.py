@@ -57,12 +57,16 @@ def main():
     params0["radius"] = params0["radius"].at[0].add(-0.03)
 
     cfg0 = RenderConfig(spp=args.spp, seed=0, **kw)
-    img0 = render_for_loss(with_params(scene.spheres, params0), camera, cfg0)
-    target = render_for_loss(scene.spheres, camera, cfg0)
+    # engine="pipeline": the calibration's FD baseline must be the
+    # exact-albedo XLA renderer (see fd_small_scene_probe).
+    img0 = render_for_loss(with_params(scene.spheres, params0), camera, cfg0,
+                           engine="pipeline")
+    target = render_for_loss(scene.spheres, camera, cfg0, engine="pipeline")
     w = jax.lax.stop_gradient(img0 - target)
 
     def L(p, cfg):
-        img = render_for_loss(with_params(scene.spheres, p), camera, cfg)
+        img = render_for_loss(with_params(scene.spheres, p), camera, cfg,
+                              engine="pipeline")
         return jnp.sum(w * img)
 
     Lj = jax.jit(L, static_argnums=1)
