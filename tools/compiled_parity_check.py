@@ -105,6 +105,48 @@ def main():
           f"ray rel diff={rel:.2e} mean|img diff|={mean_d:.2e} "
           f"max={np.abs(rs - base).max():.3g}")
 
+    # 5. Soft estimator compiled: the in-kernel graze-promotion + two-branch
+    #    estimator vs the XLA soft renderer. Interpreter mode pins EXACT
+    #    decision parity (tests/test_grad.py::test_soft_mega_matches_
+    #    pipeline); compiled, Mosaic/XLA float sequences differ by ULPs at
+    #    take/promotion boundaries, plus the megakernel's 8-bit albedo
+    #    quantization in the primal — so the check is drift-bounded like the
+    #    respawn row. Uses the tightly-padded small scene (the soft/gradient
+    #    workload; <= 64 rows) and the fused-vs-replay gradient equality on
+    #    hardware.
+    import jax.numpy as jnp
+    from rays1bench_tpu.grad.inverse import params_of, with_params
+    from rays1bench_tpu.grad.mega import render_image_mega
+    from rays1bench_tpu.render.pipeline import render_image
+    soft_cfg = RenderConfig(width=args.width, height=args.height,
+                            spp=args.spp, max_bounces=10, early_exit=False,
+                            soft_silhouette=0.005)
+    sscene = builders.create_small_scene(soft_cfg.aspect, pad_multiple=8)
+    scam = sscene.camera.build()
+    ref_s, n_ref_s = render_image(sscene.spheres, scam, soft_cfg)
+    img_s, n_s = render_image_mega(sscene.spheres, scam, soft_cfg)
+    rel_n = abs(int(n_s) - int(n_ref_s)) / int(n_ref_s)
+    mean_s = float(np.abs(np.asarray(img_s) - np.asarray(ref_s)).mean())
+    check("soft megakernel ~ XLA soft renderer (drift-bounded)",
+          rel_n < 2e-3 and mean_s < 2e-3,
+          f"ray rel diff={rel_n:.2e} mean|img diff|={mean_s:.2e}")
+
+    names = ("center_x", "center_y", "radius")
+    params = params_of(sscene.spheres, names)
+
+    def loss(p, fused):
+        img, _ = render_image_mega(with_params(sscene.spheres, p), scam,
+                                   soft_cfg, fused=fused)
+        return jnp.mean((img - 0.3) ** 2)
+
+    gf = jax.grad(loss)(params, True)
+    gr = jax.grad(loss)(params, False)
+    worst = max(
+        float(np.abs(np.asarray(gf[k]) - np.asarray(gr[k])).max()
+              / (np.abs(np.asarray(gr[k])).max() + 1e-12)) for k in names)
+    check("soft fused backward == soft replay backward (compiled)",
+          worst < 5e-3, f"worst column rel={worst:.2e}")
+
     sys.exit(1 if FAILED else 0)
 
 
