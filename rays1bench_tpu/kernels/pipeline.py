@@ -145,18 +145,30 @@ def _slot_of_id(cfg: RenderConfig, geom):
             + x % tw) * spp + s
 
 
-def auto_sync_every(sphere_count: int, respawn: bool = False) -> int:
+def auto_sync_every(sphere_count: int, respawn: bool = False,
+                    steps_hint: int = 0) -> int:
     """Measured sync_every optimum, shared by every megakernel caller
     (single-chip, topology, and sharded paths must agree — a diverging
     heuristic silently changes the schedule under shard_map).
 
     Respawn lanes desynchronize by design, so the tile-exit check only
-    fires near the end of a tile's sample budget — checking every 4th step
-    measured +1.2% at the full 250 spp / 50 bounce workload
-    (tools/respawn_probe.py --sync-every, 2026-08-20). For the one-shot /
-    wavefront kernels the vector->scalar alive reduction (~1 us) only
-    dominates when the sphere sweep is cheap (small scenes)."""
-    return 4 if respawn else (1 if sphere_count > 128 else 3)
+    fires near the end of a tile's sample budget. Skipping checks trades
+    up to sync_every-1 OVERSHOOT steps per tile (each a full sphere sweep)
+    for fewer vector->scalar stalls, so the optimum grows with the tile's
+    total step budget (`steps_hint` ~ spp * (max_bounces + 1)) and shrinks
+    with sweep cost. Measured 2026-08-20 (sync 4/8/16 sustained): at the
+    250 spp / 50 bounce workload small 3530/3629/3654 and medium
+    752/758/759 mrays/s (16 best: +3.5%/+0.9%) but large 127.5/127.5/125.7
+    (16 loses 1.4% — 512-row overshoot sweeps); at 4 spp / 10 bounces
+    (~44-step tiles) sync=16 LOSES 18% on medium (403 vs 491 — the
+    overshoot is a third of the tile's whole budget) -> 16 only for cheap
+    sweeps (<= 64 rows) on long-running tiles (>= 512 steps), else the
+    round-3 optimum 4. For the one-shot / wavefront kernels the
+    vector->scalar alive reduction (~1 us) only dominates when the sphere
+    sweep is cheap (small scenes)."""
+    if respawn:
+        return 16 if (sphere_count <= 64 and steps_hint >= 512) else 4
+    return 1 if sphere_count > 128 else 3
 
 
 def prepare_trimmed(spheres_soa: SphereSOA, unroll: int, cull: str,
@@ -275,7 +287,9 @@ def _render_jit(spheres_soa: SphereSOA, camera: Camera, cfg: RenderConfig,
     spheres, unroll = prepare_trimmed(spheres_soa, unroll, cull, n_real)
     n = cfg.num_primary_rays
     if sync_every <= 0:
-        sync_every = auto_sync_every(spheres.count, respawn)
+        sync_every = auto_sync_every(
+            spheres.count, respawn,
+            steps_hint=cfg.spp * (cfg.max_bounces + 1))
 
     if respawn:
         # Pixel-tile order with ONE LANE PER PIXEL: the respawn kernel owns

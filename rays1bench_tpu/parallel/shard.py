@@ -230,7 +230,9 @@ def _render_respawn_sharded(spheres, camera, cfg, mesh, axis_name,
     if sync_every <= 0:
         # The respawn optimum (4), NOT the one-shot kernel's heuristic — a
         # sharded respawn render must run the same schedule as single-chip.
-        sync_every = auto_sync_every(spheres.count, respawn=True)
+        sync_every = auto_sync_every(
+            spheres.count, respawn=True,
+            steps_hint=spp_loc * (cfg.max_bounces + 1))
 
     def local(spheres, camera):
         i = jax.lax.axis_index(axis_name).astype(jnp.int32)
