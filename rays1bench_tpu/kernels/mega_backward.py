@@ -35,7 +35,10 @@ radius leaf analytically.
 
 Gradient semantics are IDENTICAL to the replay path: the derivative of the
 fixed-topology replay render (SURVEY.md §7.3 reparameterization), now with
-exact (unquantized) albedos on both sides of the chain. Reference for the
+exact (unquantized) albedos on both sides of the chain. With
+cfg.soft_silhouette the replayed bounce is the detached two-branch
+soft-silhouette estimator at the recorded PROMOTED topology (see
+_bounce_core) — silhouette gradients run fused too. Reference for the
 replayed math: src/latest/rayweek1.cpp:152-339 (hit), :396-512 (scatter),
 :515-536 (radiance) — done twice here, forward and reverse.
 """
