@@ -148,22 +148,27 @@ def image_loss(params: Dict[str, jax.Array], spheres: SphereSOA,
 
 def make_train_step(spheres_template: SphereSOA, camera: Camera,
                     cfg: RenderConfig, inv: InverseConfig, mesh=None,
-                    engine: str = "auto"):
+                    engine: str = "auto", scan_steps: int = 1):
     """Build (step_fn, optimizer) over the selected parameter dict.
 
     step_fn(params, opt_state, target) -> (params, opt_state, loss) is
     jittable; with a mesh the forward is shard_map'd over rays and the
     gradient reduction onto the replicated scene parameters rides the
     shard_map transpose's psum — the ICI analog of a gradient all-reduce
-    (SURVEY.md §5, "distributed communication backend")."""
+    (SURVEY.md §5, "distributed communication backend").
+
+    scan_steps > 1 chains that many Adam steps inside ONE dispatch via
+    lax.scan (this environment pays ~29 ms of tunnel round trip per
+    synchronous dispatch — CLAUDE.md; a production training loop stays
+    on-device the same way), and `loss` comes back as f32[scan_steps]
+    (per-chained-step losses) instead of a scalar."""
     optimizer = optax.adam(inv.learning_rate)
     row_mask = None
     if inv.rows is not None:
         n_rows = spheres_template.radius.shape[0]
         row_mask = jnp.zeros(n_rows).at[jnp.asarray(inv.rows)].set(1.0)
 
-    @jax.jit
-    def step(params, opt_state, target):
+    def one_step(params, opt_state, target):
         loss, grads = jax.value_and_grad(image_loss)(
             params, spheres_template, camera, target, cfg, mesh, engine)
         if row_mask is not None:
@@ -172,6 +177,19 @@ def make_train_step(spheres_template: SphereSOA, camera: Camera,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    if scan_steps <= 1:
+        return jax.jit(one_step), optimizer
+
+    @jax.jit
+    def step(params, opt_state, target):
+        def body(carry, _):
+            params, opt_state = carry
+            params, opt_state, loss = one_step(params, opt_state, target)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=scan_steps)
+        return params, opt_state, losses
+
     return step, optimizer
 
 
@@ -179,18 +197,23 @@ def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
               cfg: RenderConfig, inv: Optional[InverseConfig] = None,
               mesh=None, verbose: bool = False,
               checkpoint_path: Optional[str] = None,
-              checkpoint_every: int = 50, engine: str = "auto"):
+              checkpoint_every: int = 50, engine: str = "auto",
+              scan_steps: int = 1):
     """Adam-fit scene parameters to a target image.
 
     With checkpoint_path set, optimizer state persists every
     `checkpoint_every` steps and the fit resumes from an existing checkpoint
-    (grad/checkpoint.py). Returns (fitted_spheres, losses list)."""
+    (grad/checkpoint.py). scan_steps > 1 chains that many Adam steps per
+    dispatch (make_train_step) — per-step losses are still returned;
+    checkpoints land on chunk boundaries. Returns (fitted_spheres,
+    losses list)."""
     import os
     from rays1bench_tpu.grad import checkpoint as ckpt
 
     inv = inv or InverseConfig()
+    scan_steps = max(1, min(scan_steps, inv.steps))
     step, optimizer = make_train_step(spheres0, camera, cfg, inv, mesh,
-                                      engine)
+                                      engine, scan_steps)
     params = params_of(spheres0, inv.optimize)
     opt_state = optimizer.init(params)
     start = 0
@@ -199,12 +222,20 @@ def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
         if verbose:
             print(f"resumed from {checkpoint_path} at step {start}")
     losses = []
-    for i in range(start, inv.steps):
+    i = start
+    while i < inv.steps:
         params, opt_state, loss = step(params, opt_state, target)
-        losses.append(float(loss))
-        if verbose and (i % 10 == 0 or i == inv.steps - 1):
-            print(f"step {i:4d}  loss {losses[-1]:.6g}")
-        if checkpoint_path and ((i + 1) % checkpoint_every == 0
-                                or i == inv.steps - 1):
-            ckpt.save(checkpoint_path, params, opt_state, i + 1)
+        if scan_steps > 1:
+            import numpy as _np
+            chunk = [float(x) for x in _np.asarray(loss)]
+        else:
+            chunk = [float(loss)]
+        losses.extend(chunk)
+        i += len(chunk)
+        if verbose and ((i - len(chunk)) // 10 != i // 10
+                        or i >= inv.steps):
+            print(f"step {i - 1:4d}  loss {losses[-1]:.6g}")
+        if checkpoint_path and (i % checkpoint_every < len(chunk)
+                                or i >= inv.steps):
+            ckpt.save(checkpoint_path, params, opt_state, i)
     return with_params(spheres0, params), losses
