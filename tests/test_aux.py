@@ -153,3 +153,29 @@ def test_profiling_hooks_smoke(tmp_path):
         pass
     stats = profiling.device_memory_stats()
     assert stats is None or isinstance(stats, dict)
+
+
+def test_fit_scene_scan_steps_equivalent():
+    """fit_scene(scan_steps=N) — N Adam steps chained per dispatch via
+    lax.scan (the on-device training loop; ~29 ms dispatch round trip
+    amortized on the real TPU) — produces the same per-step losses and the
+    same fitted parameters as the per-step loop."""
+    import dataclasses
+    from rays1bench_tpu.grad.inverse import (InverseConfig, fit_scene,
+                                             render_for_loss)
+    from rays1bench_tpu.scene.builders import create_small_scene
+
+    cfg = RenderConfig(width=48, height=24, spp=1, max_bounces=2,
+                       early_exit=False, ray_chunk=4096)
+    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    camera = scene.camera.build()
+    target = render_for_loss(scene.spheres, camera, cfg)
+    pert = dataclasses.replace(scene.spheres,
+                               albedo_x=scene.spheres.albedo_x * 0.7)
+    inv = InverseConfig(learning_rate=1e-2, steps=12, optimize=("albedo_x",))
+    f1, l1 = fit_scene(pert, camera, target, cfg, inv)
+    f2, l2 = fit_scene(pert, camera, target, cfg, inv, scan_steps=4)
+    assert len(l1) == len(l2) == 12
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.albedo_x),
+                               np.asarray(f2.albedo_x), rtol=1e-6)
