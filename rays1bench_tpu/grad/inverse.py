@@ -98,7 +98,16 @@ def _pick_engine(spheres: SphereSOA, cfg: RenderConfig, mesh, engine: str
 
 def render_for_loss(spheres: SphereSOA, camera: Camera, cfg: RenderConfig,
                     mesh=None, engine: str = "auto") -> jax.Array:
-    """Differentiable linear-radiance render (fixed-trip loop)."""
+    """Differentiable linear-radiance render (fixed-trip loop).
+
+    Primal-quantization caveat: engine="mega" (the TPU auto default for
+    <= 64-row scenes) renders its PRIMAL through the megakernel, whose
+    albedos are 8-bit quantized (megakernel._pack_spheres) — gradients are
+    float-exact, but the image VALUE can differ from a pipeline- or
+    reference-rendered target by up to ~bounces * 0.5/255 per channel.
+    Fitting against an externally rendered target at tight tolerances?
+    Pass engine="pipeline" (or render the target through the same
+    engine)."""
     engine = _pick_engine(spheres, cfg, mesh, engine)
     if engine == "mega":
         interp = jax.default_backend() == "cpu"
@@ -136,7 +145,11 @@ def image_loss(params: Dict[str, jax.Array], spheres: SphereSOA,
         E[(imgA - target) * (imgB - target)] = (E[img] - target)^2
     — is unbiased for the squared bias alone, with no variance term, at the
     cost of a second forward. The hard renderer is deterministic
-    (imgA == imgB), where this reduces to the plain MSE."""
+    (imgA == imgB), where this reduces to the plain MSE.
+
+    See render_for_loss for the engine="mega" primal-quantization caveat
+    (8-bit albedos in the rendered image; matters when `target` came from
+    the pipeline or the reference renderer)."""
     sph = with_params(spheres, params)
     img = render_for_loss(sph, camera, cfg, mesh, engine)
     if not cfg.soft_silhouette:
@@ -221,18 +234,27 @@ def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
         params, opt_state, start = ckpt.restore(checkpoint_path, opt_state)
         if verbose:
             print(f"resumed from {checkpoint_path} at step {start}")
+    import numpy as _np
     losses = []
     i = start
+    step_rem = None
     while i < inv.steps:
-        params, opt_state, loss = step(params, opt_state, target)
-        if scan_steps > 1:
-            import numpy as _np
-            chunk = [float(x) for x in _np.asarray(loss)]
+        n_chunk = min(scan_steps, inv.steps - i)
+        if n_chunk == scan_steps:
+            step_n = step
         else:
-            chunk = [float(loss)]
+            # Remainder chunk: rebuild the scan at the leftover length so
+            # the fit lands EXACTLY on inv.steps (at most one extra compile,
+            # on the final chunk of a non-dividing scan_steps).
+            if step_rem is None:
+                step_rem, _ = make_train_step(spheres0, camera, cfg, inv,
+                                              mesh, engine, n_chunk)
+            step_n = step_rem
+        params, opt_state, loss = step_n(params, opt_state, target)
+        chunk = [float(x) for x in _np.asarray(loss).reshape(-1)]
         losses.extend(chunk)
         i += len(chunk)
-        if verbose and ((i - len(chunk)) // 10 != i // 10
+        if verbose and (any(s % 10 == 0 for s in range(i - len(chunk), i))
                         or i >= inv.steps):
             print(f"step {i - 1:4d}  loss {losses[-1]:.6g}")
         if checkpoint_path and (i % checkpoint_every < len(chunk)

@@ -179,3 +179,10 @@ def test_fit_scene_scan_steps_equivalent():
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(f1.albedo_x),
                                np.asarray(f2.albedo_x), rtol=1e-6)
+    # Non-dividing scan_steps (12 = 5 + 5 + 2): the remainder chunk clamps
+    # to inv.steps — no overshoot in losses, params, or step count.
+    f3, l3 = fit_scene(pert, camera, target, cfg, inv, scan_steps=5)
+    assert len(l3) == 12
+    np.testing.assert_allclose(l1, l3, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.albedo_x),
+                               np.asarray(f3.albedo_x), rtol=1e-6)
