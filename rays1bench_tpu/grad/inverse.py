@@ -75,22 +75,24 @@ def _pick_engine(spheres: SphereSOA, cfg: RenderConfig, mesh, engine: str
 
     "mega" = megakernel forward + fused Pallas backward (grad/mega.py +
     kernels/mega_backward.py) — the production gradient engine on TPU, hard
-    AND soft: one Pallas dispatch each way instead of ~30 N-sized HBM round
-    trips per bounce per direction (PARITY.md). With cfg.soft_silhouette
-    the forward runs the soft two-branch estimator in-kernel (graze
-    promotion sweep, megakernel._make_intersect) and the fused backward
-    differentiates it at the recorded promoted topology. Requires <= 64
-    sphere rows (the fused kernel's one-hot accumulator budget); with a
-    mesh, explicit engine="mega" runs the sharded fused path
-    (grad/mega.render_image_mega_sharded — auto stays on the pipeline
-    there). "pipeline" = the XLA fixed-trip renderer with the
+    AND soft, single-chip AND sharded: one Pallas dispatch each way instead
+    of ~30 N-sized HBM round trips per bounce per direction (PARITY.md).
+    With cfg.soft_silhouette the forward runs the soft two-branch estimator
+    in-kernel (graze promotion sweep, megakernel._make_intersect) and the
+    fused backward differentiates it at the recorded promoted topology.
+    With a mesh it runs the sharded fused path
+    (grad/mega.render_image_mega_sharded: per-device megakernel + fused
+    backward, ONE (10, S) psum per step). Scenes up to
+    mega_backward.MAX_SPHERES rows qualify (<= 64 rows on the unrolled
+    accumulators, above on the round-5 blocked path — the large scene's
+    512 rows included). "pipeline" = the XLA fixed-trip renderer with the
     Pallas index intersector + remat — the semantic reference and the
-    sharded-auto path. auto keeps CPU (tests, dryruns) on the pipeline so
+    fallback. auto keeps CPU (tests, dryruns) on the pipeline so
     interpreter-mode Pallas stays opt-in."""
     if engine != "auto":
         return engine
-    from rays1bench_tpu.kernels.mega_backward import MAX_SPHERES
-    if (mesh is None and spheres.radius.shape[0] <= MAX_SPHERES
+    from rays1bench_tpu.kernels.mega_backward import fused_supported
+    if (fused_supported(spheres.radius.shape[0], cfg)
             and jax.default_backend() != "cpu"):
         return "mega"
     return "pipeline"
@@ -261,3 +263,52 @@ def fit_scene(spheres0: SphereSOA, camera: Camera, target: jax.Array,
                                 or i >= inv.steps):
             ckpt.save(checkpoint_path, params, opt_state, i)
     return with_params(spheres0, params), losses
+
+
+def fit_camera(spheres: SphereSOA, spec, target: jax.Array,
+               cfg: RenderConfig, learning_rate: float = 5e-3,
+               steps: int = 100, optimize: Tuple[str, ...] = ("lookfrom",
+                                                              "vfov"),
+               engine: str = "auto", verbose: bool = False):
+    """Adam-fit CAMERA parameters (lookfrom and/or vfov) to a target image.
+
+    The camera VJP has existed since round 3 (grad/mega.py raygen vjp;
+    cross-engine tested in tests/test_shard.py) — this closes the loop and
+    USES it: `spec` (a render.camera.CameraSpec) provides the initial guess
+    and the fixed parameters (lookat, vup, aperture, focus_dist, aspect);
+    the differentiable constructor render/camera.build_camera re-derives
+    the ray-gen basis from the fitted leaves every step, so gradients flow
+    target -> image -> rays -> basis -> (lookfrom, vfov). The scene is held
+    fixed. Returns (fitted_params dict, losses list). Reference camera
+    parameters being recovered: rayweek1.cpp:364-394 (Camera::init args).
+    """
+    from rays1bench_tpu.render.camera import build_camera
+
+    all_params = {"lookfrom": jnp.asarray(spec.lookfrom, jnp.float32),
+                  "vfov": jnp.asarray(spec.vfov, jnp.float32)}
+    params = {k: all_params[k] for k in optimize}
+
+    def loss_fn(p):
+        full = dict(all_params, **p)
+        cam = build_camera(full["lookfrom"], spec.lookat, spec.vup,
+                           full["vfov"], spec.aspect, spec.aperture,
+                           spec.focus_dist)
+        img = render_for_loss(spheres, cam, cfg, None, engine)
+        return jnp.mean((img - target) ** 2)
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        if verbose and (i % 10 == 0 or i == steps - 1):
+            print(f"camera step {i:4d}  loss {losses[-1]:.6g}")
+    return params, losses

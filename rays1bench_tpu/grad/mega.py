@@ -31,9 +31,12 @@ the PROMOTED indices, and both backwards differentiate the soft estimator
 at that fixed topology (promote=False replay semantics — integrator.trace
 / kernels/mega_backward._bounce_core).
 
-Limits: scenes should be tightly padded (pad_multiple=8): topology indices
-are raw SoA rows, so the forward runs cull="none"; the fused backward caps
-at 64 sphere rows (kernels/mega_backward.MAX_SPHERES).
+Limits: scenes should be tightly padded (pad_multiple=8 up to 64 rows;
+power-of-two row counts above — Mosaic compiles those an order of magnitude
+faster): topology indices are raw SoA rows, so the forward runs cull="none".
+The fused backward takes up to kernels/mega_backward.MAX_SPHERES rows
+(unrolled accumulators to 64 rows, the round-5 blocked path above — the
+512-row large scene runs fused; see mega_backward.fused_supported).
 """
 
 from __future__ import annotations

@@ -69,10 +69,45 @@ GRAD_ROWS = ("center_x", "center_y", "center_z", "radius_sq", "inv_radius",
 NUM_GRAD = len(GRAD_ROWS)
 
 # Sphere SMEM layout: the 10 gradient columns + mat_type as f32 (exact for
-# codes 0..2). Max sphere rows the one-hot accumulator supports: the
-# accumulator is NUM_GRAD * S planes of (sub, LANES) f32 in VMEM.
+# codes 0..2).
 _NUM_COLS = NUM_GRAD + 1
-MAX_SPHERES = 64
+
+# Strategy switch: at <= MAX_UNROLLED rows the kernel unrolls the column
+# lookup and keeps NUM_GRAD * S per-lane (sub, LANES) accumulator planes in
+# VMEM (round-4 design — the production path for the small/medium scenes).
+# Above it, the round-5 BLOCKED path takes over: dynamic-index fori loops
+# bound the trace size, the reverse pass reuses column values checkpointed
+# by the forward, and cotangents deposit into sublane-packed accumulators —
+# (NUM_GRAD * S/8) blocks of (8, LANES), sphere row s living on sublane s%8
+# of block s//8 — so accumulator VMEM is S * 5 KB instead of S * sub * 0.5
+# KB and the LARGE scene's 512 rows fit (VERDICT r4 item 1). MAX_SPHERES is
+# the blocked path's cap (SMEM + accumulator budget), not a design wall.
+MAX_UNROLLED = 64
+MAX_SPHERES = 1024
+_VMEM_BUDGET = 12 * 2**20
+
+
+def _vmem_estimate(s_count: int, max_bounces: int, sub: int) -> int:
+    """Bytes of VMEM scratch the blocked kernel needs resident (accumulator
+    blocks + per-bounce state and column checkpoints)."""
+    acc = NUM_GRAD * (s_count // 8) * 8 * LANES
+    st = 10 * (max_bounces + 2) * sub * LANES
+    cols = _NUM_COLS * (max_bounces + 1) * sub * LANES
+    return 4 * (acc + st + cols)
+
+
+def fused_supported(s_count: int, cfg, tile_rays: int = 2048) -> bool:
+    """Can backward_pallas take this scene/config? (row cap, 8-row block
+    alignment above MAX_UNROLLED, and the blocked path's VMEM budget.)
+    grad/inverse._pick_engine consults this so engine="auto" never routes
+    to a configuration the kernel would reject."""
+    if s_count > MAX_SPHERES:
+        return False
+    if s_count <= MAX_UNROLLED:
+        return True
+    return (s_count % 8 == 0
+            and _vmem_estimate(s_count, cfg.max_bounces,
+                               tile_rays // LANES) < _VMEM_BUDGET)
 
 
 def _pack_exact(prep: PreparedSpheres) -> jax.Array:
@@ -190,7 +225,8 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 grads_ref, cox_ref, coy_ref, coz_ref,
                 cdx_ref, cdy_ref, cdz_ref, acc_ref, *,
                 num_spheres: int, max_bounces: int, t_min: float, seed: int,
-                n_rays: int, sub: int, soft_eps: float = 0.0):
+                n_rays: int, sub: int, soft_eps: float = 0.0,
+                s_pad: int = LANES):
     i = pl.program_id(0)
     nt = pl.num_programs(0)
     zero = jnp.zeros((sub, LANES), jnp.float32)
@@ -198,9 +234,11 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tmin_c = np.float32(t_min)
     ray_id = rid_ref[...]
     ct_r = (ctr_ref[...], ctg_ref[...], ctb_ref[...])
+    blocked = num_spheres > MAX_UNROLLED
+    sb_count = num_spheres // 8  # blocked path only (S % 8 asserted)
 
-    # The per-lane one-hot gradient accumulators persist across the serial
-    # grid; zero them once.
+    # The one-hot gradient accumulators persist across the serial grid; zero
+    # them once.
     @pl.when(i == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -208,17 +246,36 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     def lookup(j):
         """Winning sphere's columns per lane: an S-select sweep over SMEM
         (the take_cols dense-sweep design, intersect.py:49-57; dead lanes'
-        j = -1 resolves to column 0, masked by hit everywhere)."""
+        j = -1 resolves to column 0, masked by hit everywhere). Fully
+        unrolled at <= MAX_UNROLLED rows; above, a fori_loop with a
+        group-of-8 body keeps the Mosaic program size S-independent (the
+        compile-time wall, not the VPU, is what forbids unrolling 512
+        rows x 11 columns)."""
         jc = jnp.maximum(j, 0)
-        cols = []
-        for cidx in range(_NUM_COLS):
-            v = zero + spheres_smem[cidx, 0]
-            for s in range(1, num_spheres):
-                v = jnp.where(jc == s, spheres_smem[cidx, s], v)
-            cols.append(v)
-        return cols
+        if not blocked:
+            cols = []
+            for cidx in range(_NUM_COLS):
+                v = zero + spheres_smem[cidx, 0]
+                for s in range(1, num_spheres):
+                    v = jnp.where(jc == s, spheres_smem[cidx, s], v)
+                cols.append(v)
+            return cols
 
-    def run(st, ct):
+        def group(g, carry):
+            for k in range(8):
+                s = g * 8 + k
+                m = jc == s
+                carry = tuple(
+                    jnp.where(m, zero + spheres_smem[c, s], carry[c])
+                    for c in range(_NUM_COLS))
+            return carry
+
+        # Sweeping s = 0 with zero-init matches the unrolled path's
+        # column-0 init: jc == 0 always selects row 0's values first.
+        init = tuple(zero for _ in range(_NUM_COLS))
+        return list(jax.lax.fori_loop(0, sb_count, group, init))
+
+    def run(st, ct, cols_st):
         # st: 11 refs of (max_bounces+2, sub, LANES) — per-bounce
         # checkpoints of (o3, d3, a3, alive) + alive at b+1 (= bounce b's
         # cont, read back in reverse); ct: (9, sub, LANES) cotangent planes.
@@ -247,6 +304,11 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             j = topo_ref[pl.ds(b, 1)][0]
             hit = j >= 0
             cols = lookup(j)
+            if blocked:
+                # Checkpoint the looked-up columns so the reverse pass reads
+                # them back instead of paying a second S-row sweep.
+                for c in range(_NUM_COLS):
+                    cols_st[c][pl.ds(b, 1)] = cols[c][None]
             mt = cols[NUM_GRAD].astype(jnp.int32)
             o2, d2, a2, _, cont = _bounce_core(
                 o, d, a, tuple(cols[:NUM_GRAD]), mt, hit, alive, None, b,
@@ -269,7 +331,11 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             cont = cont  # bool plane
             j = topo_ref[pl.ds(b, 1)][0]
             hit = j >= 0
-            cols = lookup(j)
+            if blocked:
+                cols = [cols_st[c][pl.ds(b, 1)][0]
+                        for c in range(_NUM_COLS)]
+            else:
+                cols = lookup(j)
             mt = cols[NUM_GRAD].astype(jnp.int32)
 
             def f(*leaves):
@@ -289,13 +355,34 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 ct[k2] = cts[k2]
             # Deposit the 10 per-lane column cotangents onto their sphere
             # rows (one-hot; masks shared across the 10 rows).
-            masks = [j == s for s in range(num_spheres)]
-            for g in range(NUM_GRAD):
-                cg = cts[9 + g]
-                for s in range(num_spheres):
-                    idx = g * num_spheres + s
-                    acc_ref[idx] = acc_ref[idx] + jnp.where(masks[s], cg,
-                                                            zero)
+            if not blocked:
+                masks = [j == s for s in range(num_spheres)]
+                for g in range(NUM_GRAD):
+                    cg = cts[9 + g]
+                    for s in range(num_spheres):
+                        idx = g * num_spheres + s
+                        acc_ref[idx] = acc_ref[idx] + jnp.where(masks[s], cg,
+                                                                zero)
+                return 0
+
+            # Blocked deposit: 8 sphere rows per accumulator block, row
+            # s on sublane s % 8 of block s // 8, lanes still per-ray —
+            # the sublane reduction happens HERE (8 rays-to-1 per deposit)
+            # so accumulator VMEM stays S-proportional, not S x sub.
+            def dep_body(sb, _):
+                base = sb * 8
+                masks = [j == base + k for k in range(8)]
+                for g in range(NUM_GRAD):
+                    cg = cts[9 + g]
+                    upd = jnp.concatenate(
+                        [jnp.sum(jnp.where(masks[k], cg, zero), axis=0,
+                                 keepdims=True) for k in range(8)], axis=0)
+                    idx = g * sb_count + sb
+                    acc_ref[pl.ds(idx, 1)] = (acc_ref[pl.ds(idx, 1)]
+                                              + upd[None])
+                return 0
+
+            jax.lax.fori_loop(0, sb_count, dep_body, 0)
             return 0
 
         jax.lax.fori_loop(0, b_end, bwd_body, 0)
@@ -309,24 +396,54 @@ def _bwd_kernel(spheres_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         cdz_ref[...] = ct[5]
 
     nb2 = max_bounces + 2
+    nb1 = max_bounces + 1
+    cols_scope = ([pltpu.VMEM((nb1, sub, LANES), jnp.float32)
+                   for _ in range(_NUM_COLS)] if blocked else [])
     pl.run_scoped(
         run,
         [pltpu.VMEM((nb2, sub, LANES), jnp.float32) for _ in range(10)],
         pltpu.VMEM((9, sub, LANES), jnp.float32),
+        cols_scope,
     )
 
-    # Collapse the per-lane accumulators into the (NUM_GRAD, S_pad) output
-    # once, at the last grid step (NUM_GRAD * S scalar reductions total for
-    # the whole kernel).
+    # Collapse the accumulators into the (NUM_GRAD, S_pad) output once, at
+    # the last grid step.
     @pl.when(i == nt - 1)
     def _():
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        if not blocked:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            for g in range(NUM_GRAD):
+                row = jnp.zeros((1, LANES), jnp.float32)
+                for s in range(num_spheres):
+                    tot = jnp.sum(acc_ref[g * num_spheres + s])
+                    row = row + jnp.where(lane == s, tot, 0.0)
+                grads_ref[g:g + 1, :] = row
+            return
+
+        # Blocked: lane-reduce each (8, LANES) block to (8, 1) per-sphere
+        # totals and fan them onto the (1, s_pad) output rows; all vector
+        # ops, carried through one fori_loop over blocks.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+
+        def col_body(sb, rows):
+            base = sb * 8
+            out = []
+            for g in range(NUM_GRAD):
+                blk = acc_ref[pl.ds(g * sb_count + sb, 1)][0]
+                tot = jnp.sum(blk, axis=1, keepdims=True)  # (8, 1)
+                row = rows[g]
+                for k in range(8):
+                    row = row + jnp.where(lane == base + k,
+                                          tot[k:k + 1, :], 0.0)
+                out.append(row)
+            return tuple(out)
+
+        rows = jax.lax.fori_loop(
+            0, sb_count, col_body,
+            tuple(jnp.zeros((1, s_pad), jnp.float32)
+                  for _ in range(NUM_GRAD)))
         for g in range(NUM_GRAD):
-            row = jnp.zeros((1, LANES), jnp.float32)
-            for s in range(num_spheres):
-                tot = jnp.sum(acc_ref[g * num_spheres + s])
-                row = row + jnp.where(lane == s, tot, 0.0)
-            grads_ref[g:g + 1, :] = row
+            grads_ref[g:g + 1, :] = rows[g]
 
 
 @functools.partial(jax.jit,
@@ -351,14 +468,31 @@ def backward_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
     """
     n = ox.shape[0]
     assert n % tile_rays == 0, (n, tile_rays)
-    assert spheres.count <= MAX_SPHERES, (
+    s_count = spheres.count
+    assert s_count <= MAX_SPHERES, (
         f"fused backward supports <= {MAX_SPHERES} sphere rows "
-        f"(got {spheres.count}); use the XLA replay path")
+        f"(got {s_count}); use the XLA replay path")
     sub = tile_rays // LANES
     num_tiles = n // tile_rays
     n_active = n_rays if n_rays > 0 else min(n, cfg.num_primary_rays)
     nb1 = cfg.max_bounces + 1
     assert topo.shape == (nb1, n), (topo.shape, nb1, n)
+    blocked = s_count > MAX_UNROLLED
+    if blocked:
+        assert s_count % 8 == 0, s_count
+        s_pad = -(-s_count // LANES) * LANES
+        acc_shape = (NUM_GRAD * (s_count // 8), 8, LANES)
+        # VMEM budget: accumulators + per-bounce state/column checkpoints
+        # must co-reside (the column checkpoint is what spares the reverse
+        # pass a second S-row sweep). ~16 MB/core on v5e; leave headroom.
+        vmem = _vmem_estimate(s_count, cfg.max_bounces, sub)
+        assert vmem < _VMEM_BUDGET, (
+            f"fused backward VMEM estimate {vmem / 2**20:.1f} MB "
+            f"(S={s_count}, max_bounces={cfg.max_bounces}); lower "
+            f"max_bounces or tile_rays, or use the XLA replay path")
+    else:
+        s_pad = LANES
+        acc_shape = (NUM_GRAD * s_count, sub, LANES)
 
     packed = _pack_exact(spheres)
     shape2 = (num_tiles * sub, LANES)
@@ -368,13 +502,14 @@ def backward_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _bwd_kernel,
-        num_spheres=spheres.count,
+        num_spheres=s_count,
         max_bounces=cfg.max_bounces,
         t_min=cfg.t_min,
         seed=cfg.seed,
         n_rays=n_active,
         sub=sub,
         soft_eps=float(cfg.soft_silhouette),
+        s_pad=s_pad,
     )
     outs = pl.pallas_call(
         kernel,
@@ -388,12 +523,12 @@ def backward_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((NUM_GRAD, LANES), lambda i: (0, 0),
+            pl.BlockSpec((NUM_GRAD, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((NUM_GRAD, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((NUM_GRAD, s_pad), jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.float32),
@@ -402,13 +537,13 @@ def backward_pallas(spheres: PreparedSpheres, ox, oy, oz, dx, dy, dz, ray_id,
             jax.ShapeDtypeStruct(shape2, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NUM_GRAD * spheres.count, sub, LANES), jnp.float32),
+            pltpu.VMEM(acc_shape, jnp.float32),
         ],
         interpret=interpret,
     )(packed, as2d(ox), as2d(oy), as2d(oz), as2d(dx), as2d(dy), as2d(dz),
       as2d(ray_id), as2d(ct_r), as2d(ct_g), as2d(ct_b),
       topo.reshape((nb1,) + shape2))
 
-    grads = outs[0][:, :spheres.count]
+    grads = outs[0][:, :s_count]
     cts = tuple(o.reshape(n) for o in outs[1:7])
     return grads, cts

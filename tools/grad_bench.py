@@ -62,9 +62,14 @@ def main():
                        pallas_intersect=False if args.xla_intersect else None,
                        soft_silhouette=args.soft)
     # pad_multiple=8: the differentiable XLA path sweeps every SoA row
-    # densely, so don't carry 120 placeholder rows through the VJP.
+    # densely, so don't carry 120 placeholder rows through the VJP. The
+    # large scene on the fused engine instead pads to 128 (484 -> 512 rows):
+    # the blocked backward wants 8-row alignment and Mosaic compiles
+    # power-of-two sweep lengths an order of magnitude faster (CLAUDE.md).
     build = getattr(builders, f"create_{args.scene}_scene")
-    scene = build(cfg.aspect, pad_multiple=8)
+    pad = 128 if (args.engine in ("mega", "auto")
+                  and args.scene == "large") else 8
+    scene = build(cfg.aspect, pad_multiple=pad)
     camera = scene.camera.build()
     target = render_for_loss(scene.spheres, camera, cfg)
 
