@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--fit-geometry", action="store_true",
                     help="recover a moved/resized sphere via the "
                          "soft-silhouette renderer")
+    ap.add_argument("--fit-camera", action="store_true",
+                    help="recover a perturbed camera pose (lookfrom) "
+                         "through the renderer's camera VJP "
+                         "(grad/inverse.fit_camera; vfov is fit separately "
+                         "in tests — jointly with pose it shares the "
+                         "dolly-zoom null direction)")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pipeline", "mega"],
                     help="gradient engine (grad/inverse._pick_engine): "
@@ -68,6 +74,26 @@ def main():
     # (2x grad-step speed, tools/grad_bench.py).
     scene = create_small_scene(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
+
+    if args.fit_camera:
+        from rays1bench_tpu.grad.inverse import fit_camera
+        target = render_for_loss(scene.spheres, camera, cfg)
+        spec = scene.camera
+        pert = dataclasses.replace(
+            spec, lookfrom=(spec.lookfrom[0] + 0.06,
+                            spec.lookfrom[1] - 0.05,
+                            spec.lookfrom[2] + 0.04))
+        fitted, losses = fit_camera(
+            scene.spheres, pert, target, cfg,
+            learning_rate=args.lr or 5e-3, steps=max(args.steps, 120),
+            optimize=("lookfrom",), engine=args.engine, verbose=True)
+        print(f"loss {losses[0]:.3e} -> {losses[-1]:.3e}")
+        e0 = np.abs(np.asarray(pert.lookfrom) - np.asarray(spec.lookfrom))
+        e1 = np.abs(np.asarray(fitted["lookfrom"])
+                    - np.asarray(spec.lookfrom))
+        print(f"lookfrom abs error before: {np.round(e0, 4)}  "
+              f"after: {np.round(e1, 4)}")
+        return
 
     if args.fit_geometry:
         # Soft-silhouette geometry fit: move + resize the diffuse sphere,

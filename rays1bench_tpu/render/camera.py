@@ -55,6 +55,31 @@ class CameraSpec:
         )
 
 
+def build_camera(lookfrom, lookat, vup, vfov, aspect, aperture, focus_dist
+                 ) -> "Camera":
+    """DIFFERENTIABLE Camera constructor: the same derivation as
+    CameraSpec.build (rayweek1.cpp:366-379) in jnp, so camera parameters
+    (lookfrom, vfov, ...) can be FIT by gradient descent through the
+    renderer's existing camera VJP (grad/inverse.fit_camera). lookfrom /
+    lookat / vup are length-3 arrays or tuples; vfov is in degrees."""
+    f32 = lambda t: jnp.asarray(t, dtype=jnp.float32)
+    lookfrom, lookat, vup = f32(lookfrom), f32(lookat), f32(vup)
+    theta = f32(vfov) * jnp.float32(jnp.pi / 180.0)
+    half_h = jnp.tan(theta * 0.5)
+    half_w = jnp.float32(aspect) * half_h
+    w = lookfrom - lookat
+    w = w / jnp.linalg.norm(w)
+    u = jnp.cross(vup, w)
+    u = u / jnp.linalg.norm(u)
+    v = jnp.cross(w, u)
+    fd = jnp.float32(focus_dist)
+    lower_left = lookfrom - half_w * fd * u - half_h * fd * v - fd * w
+    return Camera(
+        origin=lookfrom, lower_left=lower_left,
+        horizontal=2.0 * half_w * fd * u, vertical=2.0 * half_h * fd * v,
+        u=u, v=v, lens_radius=f32(aperture / 2.0))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Camera:
