@@ -75,7 +75,8 @@ def render_image_sharded(spheres_soa: SphereSOA, camera: Camera,
 @partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name", "tile_rays",
                                    "unroll", "cull",
                                    "wavefront", "sync_every", "n_real",
-                                   "sample_axis", "interpret", "respawn"))
+                                   "sample_axis", "interpret", "respawn",
+                                   "telemetry"))
 def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                 cfg: RenderConfig, mesh: Mesh,
                                 axis_name: str = "rays",
@@ -84,7 +85,8 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
                                 wavefront=None, sync_every: int = 0,
                                 n_real=None, sample_axis=None,
                                 interpret: bool = False,
-                                respawn: bool = False
+                                respawn: bool = False,
+                                telemetry: bool = False
                                 ) -> Tuple[jax.Array, jax.Array]:
     """The production multi-chip path: the Pallas megakernel under shard_map.
 
@@ -114,6 +116,15 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     math and ray counts are identical on any mesh; pixel values match the
     single-chip respawn render bitwise on a tile-only mesh, and up to
     sample-slice addition order when sample_axis is set.
+
+    telemetry: additionally return a third element, a dict of per-DEVICE
+    load metrics (the SPMD analog of the reference's per-thread ray
+    counters, rayweek1.cpp:79-95, 809-813): "device_rays" — rays traced by
+    each device's slice (uint32, mesh-axis shaped), and "device_iters" —
+    kernel while-loop steps summed over the device's tiles (int32; grid
+    steps run serially per core, so this is each chip's actual work, the
+    load-imbalance signal tile-count parity cannot see). Not supported
+    with `wavefront` (the phase kernel keeps no iteration counter).
     """
     from rays1bench_tpu.kernels.megakernel import (trace_pallas,
                                                    trace_pallas_respawn,
@@ -132,10 +143,12 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
     spp_loc = cfg.spp // n_samp
     assert not (respawn and wavefront is not None), \
         "respawn and wavefront are alternative scheduling strategies"
+    assert not (telemetry and wavefront is not None), \
+        "telemetry needs the kernels' debug_iters counter (no wavefront)"
     if respawn:
         return _render_respawn_sharded(
             spheres, camera, cfg, mesh, axis_name, tile_rays, unroll,
-            sync_every, sample_axis, n_samp, spp_loc, interpret)
+            sync_every, sample_axis, n_samp, spp_loc, interpret, telemetry)
 
     ids_np, _, _, inv_np, (gy, gx, th, tw) = _tile_order(
         cfg.width, cfg.height, cfg.spp, tile_rays)
@@ -164,12 +177,22 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
         s = (x + ju) * jnp.float32(1.0 / cfg.width)
         t = (y + jv) * jnp.float32(1.0 / cfg.height)
         ox, oy, oz, dx, dy, dz = camera.generate_rays(s, t, seed, ray_id)
+        telem = ()
         if wavefront is not None:
             (rr, rg, rb), nr = trace_pallas_wavefront(
                 spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
                 tile_rays=tile_rays, unroll=unroll,
                 schedule=wavefront, n_rays=n,
                 interpret=interpret)
+        elif telemetry:
+            (rr, rg, rb), nr, tile_iters, _ = trace_pallas(
+                spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
+                tile_rays=tile_rays, unroll=unroll,
+                sync_every=sync_every, n_rays=n,
+                interpret=interpret, debug_iters=True)
+            shp = (1, 1) if sample_axis else (1,)
+            telem = (nr.reshape(shp),
+                     jnp.sum(tile_iters).astype(jnp.int32).reshape(shp))
         else:
             (rr, rg, rb), nr = trace_pallas(
                 spheres, ox, oy, oz, dx, dy, dz, ray_id, cfg,
@@ -180,18 +203,20 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
         count = jax.lax.psum(nr, axes)
         shape = (1, 1, per_dev) if sample_axis else (1, per_dev)
         rs = lambda a: a.reshape(shape)
-        return rs(rr), rs(rg), rs(rb), count
+        return (rs(rr), rs(rg), rs(rb), count) + telem
 
     # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
     # metadata, which the vma checker (on by default) rejects inside
     # shard_map.
     spec = P(axis_name, sample_axis) if sample_axis else P(axis_name)
-    rr, rg, rb, count = shard_map(
+    out_specs = (spec, spec, spec, P()) + ((spec, spec) if telemetry else ())
+    outs = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(spec, spec, spec, P()),
+        out_specs=out_specs,
         check_vma=False,
     )(spheres, camera)
+    rr, rg, rb, count = outs[:4]
 
     def unpermute(a):
         # (n_tiles, n_samp, rows_per_dev, spp_loc) -> (rows, spp), then the
@@ -206,12 +231,16 @@ def render_image_pallas_sharded(spheres_soa: SphereSOA, camera: Camera,
             cfg.height, cfg.width, cfg.spp)
 
     rad = jnp.stack([unpermute(rr), unpermute(rg), unpermute(rb)], axis=-1)
-    return rad.mean(axis=2), count
+    image = rad.mean(axis=2)
+    if telemetry:
+        return image, count, {"device_rays": outs[4], "device_iters": outs[5]}
+    return image, count
 
 
 def _render_respawn_sharded(spheres, camera, cfg, mesh, axis_name,
                             tile_rays, unroll, sync_every,
-                            sample_axis, n_samp, spp_loc, interpret):
+                            sample_axis, n_samp, spp_loc, interpret,
+                            telemetry: bool = False):
     """Sample-respawn megakernel under shard_map (see
     render_image_pallas_sharded's respawn flag). PIXEL slots are split over
     axis_name in whole kernel tiles; a sample_axis device traces its pixels'
@@ -241,24 +270,38 @@ def _render_respawn_sharded(spheres, camera, cfg, mesh, axis_name,
         slot = i * per_dev + jax.lax.iota(jnp.int32, per_dev)
         pid, x, y = _tile_coords(cfgp, geom, slot=slot)
         span = jnp.stack([j * spp_loc, (j + 1) * spp_loc]).reshape(1, 2)
-        (rr, rg, rb), nr = trace_pallas_respawn(
-            spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
-            unroll=unroll,
-            sync_every=sync_every, interpret=interpret,
-            num_pixels=cfg.num_pixels, sample_span=span)
+        telem = ()
+        if telemetry:
+            (rr, rg, rb), nr, tile_iters, _ = trace_pallas_respawn(
+                spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
+                unroll=unroll,
+                sync_every=sync_every, interpret=interpret,
+                num_pixels=cfg.num_pixels, sample_span=span,
+                debug_iters=True)
+            shp = (1, 1) if sample_axis else (1,)
+            telem = (nr.reshape(shp),
+                     jnp.sum(tile_iters).astype(jnp.int32).reshape(shp))
+        else:
+            (rr, rg, rb), nr = trace_pallas_respawn(
+                spheres, camera, pid, x, y, cfg, tile_lanes=tile_rays,
+                unroll=unroll,
+                sync_every=sync_every, interpret=interpret,
+                num_pixels=cfg.num_pixels, sample_span=span)
         axes = (axis_name, sample_axis) if sample_axis else axis_name
         count = jax.lax.psum(nr, axes)
         shape = (1, 1, per_dev) if sample_axis else (1, per_dev)
         rs = lambda a: a.reshape(shape)
-        return rs(rr), rs(rg), rs(rb), count
+        return (rs(rr), rs(rg), rs(rb), count) + telem
 
     spec = P(axis_name, sample_axis) if sample_axis else P(axis_name)
-    rr, rg, rb, count = shard_map(
+    out_specs = (spec, spec, spec, P()) + ((spec, spec) if telemetry else ())
+    outs = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(spec, spec, spec, P()),
+        out_specs=out_specs,
         check_vma=False,
     )(spheres, camera)
+    rr, rg, rb, count = outs[:4]
 
     gy, gx, th, tw = geom
 
@@ -275,4 +318,7 @@ def _render_respawn_sharded(spheres, camera, cfg, mesh, axis_name,
 
     rad = jnp.stack([unpermute_pix(rr), unpermute_pix(rg),
                      unpermute_pix(rb)], axis=-1)
-    return rad * jnp.float32(1.0 / cfg.spp), count
+    image = rad * jnp.float32(1.0 / cfg.spp)
+    if telemetry:
+        return image, count, {"device_rays": outs[4], "device_iters": outs[5]}
+    return image, count

@@ -190,6 +190,37 @@ def test_pallas_sharded_2d_mesh(scene_and_camera):
                                                                 n_samp)
 
 
+def test_sharded_telemetry(scene_and_camera):
+    """telemetry=True on the sharded Pallas paths returns per-DEVICE ray
+    counts and kernel step counts (the SPMD analog of the reference's
+    per-thread ray counters, rayweek1.cpp:79-95, 809-813): counts sum to
+    the psum'd total, step counts are positive, and the image is unchanged
+    — on both the one-shot and respawn engines."""
+    from rays1bench_tpu.parallel.shard import render_image_pallas_sharded
+
+    scene, camera = scene_and_camera
+    cfg = CFG.replace(width=48, height=24, max_bounces=4)
+    mesh = make_mesh(4)
+    for respawn in (False, True):
+        base_img, base_n = render_image_pallas_sharded(
+            scene.spheres, camera, cfg, mesh, tile_rays=512, unroll=4,
+            n_real=scene.n_real, respawn=respawn, interpret=True)
+        img, n, telem = render_image_pallas_sharded(
+            scene.spheres, camera, cfg, mesh, tile_rays=512, unroll=4,
+            n_real=scene.n_real, respawn=respawn, interpret=True,
+            telemetry=True)
+        assert (np.asarray(img) == np.asarray(base_img)).all(), respawn
+        assert int(n) == int(base_n), respawn
+        rays = np.asarray(telem["device_rays"])
+        iters = np.asarray(telem["device_iters"])
+        assert rays.shape == (4,) and iters.shape == (4,), respawn
+        assert int(rays.sum()) == int(n), (respawn, rays, int(n))
+        # At this tiny config the round-up leaves the last device all
+        # padding — rays=0 — which is precisely the imbalance the
+        # telemetry exists to expose; busy devices still report steps.
+        assert (iters[rays > 0] > 0).all(), (respawn, iters, rays)
+
+
 def test_mega_grad_sharded_matches_single():
     """Multi-chip fused gradients (grad/mega.render_image_mega_sharded):
     the sharded megakernel-topology forward + fused Pallas backward under
