@@ -47,6 +47,12 @@ def main():
                          "(grad/inverse.fit_camera; vfov is fit separately "
                          "in tests — jointly with pose it shares the "
                          "dolly-zoom null direction)")
+    ap.add_argument("--scene", default="small",
+                    choices=["small", "medium"],
+                    help="medium = the 46-sphere scene: fit ALL spheres' "
+                         "albedos (138 parameters) at once; the staged "
+                         "albedos+centers fit at full resolution lives in "
+                         "tools/medium_fit_probe.py")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pipeline", "mega"],
                     help="gradient engine (grad/inverse._pick_engine): "
@@ -72,8 +78,44 @@ def main():
     # pad_multiple=8: the differentiable XLA path sweeps every SoA row
     # densely, so don't carry 120 placeholder rows through the VJP
     # (2x grad-step speed, tools/grad_bench.py).
-    scene = create_small_scene(cfg.aspect, pad_multiple=8)
+    if args.scene == "medium":
+        from rays1bench_tpu.scene.builders import create_medium_scene
+        scene = create_medium_scene(cfg.aspect, pad_multiple=8)
+    else:
+        scene = create_small_scene(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
+
+    if args.scene == "medium":
+        # Multi-sphere fit: every real sphere's albedo, simultaneously.
+        assert not (args.fit_geometry or args.fit_camera), \
+            "--scene medium fits albedos (see tools/medium_fit_probe.py)"
+        n = scene.n_real
+        target = render_for_loss(scene.spheres, camera, cfg,
+                                 engine=args.engine)
+        rng = np.random.RandomState(11)
+        fac = 0.6 + 0.9 * rng.rand(3, scene.spheres.albedo_x.shape[0])
+        fac[:, n:] = 1.0
+        import jax.numpy as jnp
+        perturbed = dataclasses.replace(
+            scene.spheres,
+            albedo_x=jnp.clip(scene.spheres.albedo_x * fac[0], 0, 1),
+            albedo_y=jnp.clip(scene.spheres.albedo_y * fac[1], 0, 1),
+            albedo_z=jnp.clip(scene.spheres.albedo_z * fac[2], 0, 1))
+        names = ("albedo_x", "albedo_y", "albedo_z")
+        inv = InverseConfig(learning_rate=args.lr or 1e-2, steps=args.steps,
+                            optimize=names)
+        fitted, losses = fit_scene(perturbed, camera, target, cfg, inv,
+                                   verbose=True, engine=args.engine,
+                                   checkpoint_path=args.checkpoint or None)
+        print(f"loss {losses[0]:.3e} -> {losses[-1]:.3e}")
+        for nm in names:
+            e0 = np.abs(np.asarray(getattr(perturbed, nm))[:n]
+                        - np.asarray(getattr(scene.spheres, nm))[:n]).mean()
+            e1 = np.abs(np.asarray(getattr(fitted, nm))[:n]
+                        - np.asarray(getattr(scene.spheres, nm))[:n]).mean()
+            print(f"{nm:9s} mean abs error over {n} spheres: "
+                  f"{e0:.4f} -> {e1:.4f}")
+        return
 
     if args.fit_camera:
         from rays1bench_tpu.grad.inverse import fit_camera

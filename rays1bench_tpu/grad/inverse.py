@@ -44,6 +44,11 @@ class InverseConfig:
     # sphere's depth, anything near a flat loss direction) otherwise walk
     # along their gradient bias/noise under Adam's normalization.
     rows: Optional[Tuple[int, ...]] = None
+    # Per-column overrides of `rows` (e.g. fit ALL albedos but only three
+    # spheres' centers — the medium-scene multi-sphere fit). Columns absent
+    # here fall back to `rows`. Tuple-of-pairs so the config stays hashable
+    # for jit static args.
+    rows_by: Optional[Tuple[Tuple[str, Tuple[int, ...]], ...]] = None
 
 
 def _grad_cfg(cfg: RenderConfig) -> RenderConfig:
@@ -178,16 +183,23 @@ def make_train_step(spheres_template: SphereSOA, camera: Camera,
     on-device the same way), and `loss` comes back as f32[scan_steps]
     (per-chained-step losses) instead of a scalar."""
     optimizer = optax.adam(inv.learning_rate)
-    row_mask = None
-    if inv.rows is not None:
-        n_rows = spheres_template.radius.shape[0]
-        row_mask = jnp.zeros(n_rows).at[jnp.asarray(inv.rows)].set(1.0)
+    n_rows = spheres_template.radius.shape[0]
+    to_mask = lambda rows: jnp.zeros(n_rows).at[jnp.asarray(rows)].set(1.0)
+    default_mask = None if inv.rows is None else to_mask(inv.rows)
+    masks = {}
+    if inv.rows_by is not None or default_mask is not None:
+        by = dict(inv.rows_by or ())
+        for name in inv.optimize:
+            m = to_mask(by[name]) if name in by else default_mask
+            if m is not None:
+                masks[name] = m
 
     def one_step(params, opt_state, target):
         loss, grads = jax.value_and_grad(image_loss)(
             params, spheres_template, camera, target, cfg, mesh, engine)
-        if row_mask is not None:
-            grads = {k: g * row_mask for k, g in grads.items()}
+        if masks:
+            grads = {k: g * masks[k] if k in masks else g
+                     for k, g in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
