@@ -101,6 +101,47 @@ def uniform_pair16(seed, ray_id, bounce, slot):
 
 _INV_2_10 = np.float32(1.0 / 1024.0)
 
+# Quadrant polynomials for sincos2pi: cos(f*pi/2) as an even and
+# sin(f*pi/2) as an odd minimax-fit polynomial on f in [0, 1), max error
+# 5.3e-8 / 3.7e-9 (< 1 f32 ulp of 1.0) vs the exact functions.
+_C2 = tuple(np.float32(v) for v in
+            (0.99999998, -1.23369868, 0.25365265, -0.020813363,
+             8.5946592e-04))
+_S2 = tuple(np.float32(v) for v in
+            (1.5707963, -0.64596344, 0.079688738, -4.6725480e-03,
+             1.5095606e-04))
+
+
+def sincos2pi(t):
+    """(sin(2 pi t), cos(2 pi t)) for t in [0, 1).
+
+    ONE quadrant reduction shared by both functions plus two short
+    even/odd polynomials, instead of jnp.sin + jnp.cos each paying its own
+    full-range argument reduction. The angle draws sit on the respawn
+    kernel's serial per-step critical path (the fixed 0.466 us/step block,
+    records/ceiling.txt); tools/fixed_cost_probe.py prices the library
+    pair at ~26 ns/step of it, and the samplers' whole chains (disk 88 ns,
+    ball 99 ns) are latency- not issue-bound, so chain length is what
+    matters. Distribution is unchanged (angles uniform up to < 1 ulp);
+    draw VALUES shift by the approximation, which moves ray counts at the
+    1e-5 level — far inside the 0.3% reference-parity pins and invisible
+    to the statistical golden comparisons (engine-equality tests share
+    this code and stay exact).
+    """
+    x = t * np.float32(4.0)
+    q = jnp.floor(x)
+    f = x - q
+    f2 = f * f
+    c = _C2[0] + f2 * (_C2[1] + f2 * (_C2[2] + f2 * (_C2[3] + f2 * _C2[4])))
+    s = f * (_S2[0] + f2 * (_S2[1] + f2 * (_S2[2]
+                                           + f2 * (_S2[3] + f2 * _S2[4]))))
+    q1 = q == 1.0
+    q2 = q == 2.0
+    q3 = q == 3.0
+    sin = jnp.where(q1, c, jnp.where(q2, -s, jnp.where(q3, -c, s)))
+    cos = jnp.where(q1, -s, jnp.where(q2, -c, jnp.where(q3, s, c)))
+    return sin, cos
+
 
 def in_unit_ball(seed, ray_id, bounce, slot0=0):
     """Uniform point inside the unit ball, returned as three component arrays.
@@ -125,8 +166,8 @@ def in_unit_ball(seed, ray_id, bounce, slot0=0):
     r = jnp.maximum(jnp.maximum(w1, w2), w3).astype(jnp.float32) * _INV_2_10
     z = 2.0 * u - 1.0
     s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    phi = _TWO_PI * v
-    return r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z
+    sp, cp = sincos2pi(v)
+    return r * s * cp, r * s * sp, r * z
 
 
 def in_unit_disk(seed, ray_id, bounce, slot0=0):
@@ -138,8 +179,8 @@ def in_unit_disk(seed, ray_id, bounce, slot0=0):
     """
     u, v = uniform_pair16(seed, ray_id, bounce, slot0)
     r = jnp.sqrt(u)
-    theta = _TWO_PI * v
-    return r * jnp.cos(theta), r * jnp.sin(theta)
+    st, ct = sincos2pi(v)
+    return r * ct, r * st
 
 
 def in_unit_ball_rejection(seed, ray_id, bounce, slot0=0, max_tries=8):
