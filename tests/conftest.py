@@ -19,6 +19,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is COMPILE-bound (the sharded
+# fused-gradient tests alone burn ~4 min of XLA:CPU compiles; round-4 verdict
+# weak item 5), and recompiling identical programs every run buys nothing.
+# With a warm cache the full suite drops from ~18 min to well under the
+# 500 s budget; the first (cold) run pays once per machine/boot.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RAYS1BENCH_TEST_CACHE",
+                                 "/tmp/rays1bench_jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pathlib
 
 import pytest

@@ -309,20 +309,22 @@ def test_mega_grad_matches_pipeline():
     scene = create_small_scene(cfg.aspect, pad_multiple=8)
     camera = scene.camera.build()
 
-    # max_bounces 5 and 3: with the small scene's sync_every=3, bounce 3's
+    # max_bounces 3: with the small scene's sync_every=3, bounce 3's
     # batches overshoot to b = max_bounces + 1 — regression for the
     # out-of-bounds topology write that clamped onto the last plane and
     # clobbered depth-capped lanes' topology (megakernel._make_bounce).
-    for mb in (3, 5):
-        c = cfg.replace(max_bounces=mb)
-        img_x, n_x = render_image(scene.spheres, camera, c)
-        _, n_m, topo = render_image_pallas_topology(scene.spheres, camera,
-                                                    c, interpret=True)
-        assert int(n_m) == int(n_x)
-        img_r, n_r = render_image(scene.spheres, camera, c, topology=topo)
-        assert int(n_r) == int(n_x)
-        np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_x))
-    # img_x/n_x now hold the mb=5 (== cfg) render for the gradient check.
+    # (The deeper mb=5 leg moved: test_fused_backward_matches_replay runs
+    # mb in (3, 5) through the same topology forward — one fewer suite
+    # compile of this size.)
+    c = cfg.replace(max_bounces=3)
+    img_3, n_3 = render_image(scene.spheres, camera, c)
+    _, n_m, topo = render_image_pallas_topology(scene.spheres, camera,
+                                                c, interpret=True)
+    assert int(n_m) == int(n_3)
+    img_r, n_r = render_image(scene.spheres, camera, c, topology=topo)
+    assert int(n_r) == int(n_3)
+    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_3))
+    img_x, _ = render_image(scene.spheres, camera, cfg)  # mb=5 target
 
     target = img_x * 0.9  # nonzero residual everywhere
     names = ("center_x", "radius", "albedo_x")

@@ -257,11 +257,12 @@ def test_mega_grad_sharded_matches_single():
                                        interpret=True)
         return jnp.mean((img - 0.3) ** 2)
 
-    l1 = float(loss(params, camera, False))
-    l2 = float(loss(params, camera, True))
-    assert l1 == l2, (l1, l2)
-    g1 = jax.grad(loss, argnums=(0, 1))(params, camera, False)
-    g2 = jax.grad(loss, argnums=(0, 1))(params, camera, True)
+    # value_and_grad: loss AND gradients from ONE trace per engine (the
+    # interpret-mode Pallas tracing is this test's entire cost; separate
+    # loss + grad calls would double it).
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, camera, False)
+    l2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(params, camera, True)
+    assert float(l1) == float(l2), (l1, l2)
     for k in names:
         a, b = np.asarray(g2[0][k]), np.asarray(g1[0][k])
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
@@ -303,9 +304,10 @@ def test_mega_grad_sharded_soft():
                                        interpret=True)
         return jnp.mean((img - 0.3) ** 2)
 
-    assert float(loss(params, False)) == float(loss(params, True))
-    g1 = jax.grad(loss)(params, False)
-    g2 = jax.grad(loss)(params, True)
+    # One trace per engine (see test_mega_grad_sharded_matches_single).
+    l1, g1 = jax.value_and_grad(loss)(params, False)
+    l2, g2 = jax.value_and_grad(loss)(params, True)
+    assert float(l1) == float(l2)
     for k in names:
         a, b = np.asarray(g2[k]), np.asarray(g1[k])
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
