@@ -27,8 +27,13 @@ from rays1bench_tpu.utils.metrics import ScalingPoint, scaling_efficiency
 
 def sweep(scene_name: str, cfg, device_counts: List[int],
           runs: int = 2, engine: str = "pallas",
-          interpret: bool = False, respawn: bool = False
-          ) -> List[ScalingPoint]:
+          interpret: bool = False, respawn: bool = False,
+          telemetry: bool = False):
+    """Returns List[ScalingPoint]; with telemetry=True (pallas engine
+    only), also a parallel list of per-device dicts from
+    parallel.shard.render_image_pallas_sharded(telemetry=True) — the
+    per-chip ray/step counters behind each point (the reference's
+    per-thread counters, rayweek1.cpp:809-813)."""
     # Imported here: pulling in the scene/renderer modules initializes the
     # JAX backend (pytree registration touches it), which must happen AFTER
     # any jax_platforms override in main().
@@ -38,6 +43,8 @@ def sweep(scene_name: str, cfg, device_counts: List[int],
     from rays1bench_tpu.scene import builders
     scene = builders.SCENES[scene_name](cfg.aspect)
     camera = scene.camera.build()
+    assert not (telemetry and engine != "pallas"), \
+        "telemetry rides the Pallas kernels' step counters"
     if engine == "pallas":
         # The production multi-chip path: megakernel under shard_map.
         n_real = getattr(scene, "n_real", None) or None
@@ -49,6 +56,7 @@ def sweep(scene_name: str, cfg, device_counts: List[int],
     else:
         render = render_image_sharded
     points = []
+    telems = []
     for nd in device_counts:
         mesh = make_mesh(nd)
         img, num = render(scene.spheres, camera, cfg, mesh)
@@ -63,6 +71,16 @@ def sweep(scene_name: str, cfg, device_counts: List[int],
             float(img.sum())
             best = min(best, time.perf_counter() - t0)
         points.append(ScalingPoint(nd, int(num), best))
+        if telemetry:
+            import numpy as _np
+            _, _, tl = render_image_pallas_sharded(
+                scene.spheres, camera, cfg, mesh,
+                n_real=getattr(scene, "n_real", None) or None,
+                respawn=respawn, interpret=interpret, telemetry=True)
+            telems.append({k: _np.asarray(v).reshape(-1).tolist()
+                           for k, v in tl.items()})
+    if telemetry:
+        return points, telems
     return points
 
 
@@ -84,6 +102,10 @@ def main(argv=None):
     ap.add_argument("--respawn", action="store_true",
                     help="use the persistent-lane sample-respawn engine "
                          "(pallas engine only)")
+    ap.add_argument("--telemetry", action="store_true",
+                    help="also collect per-DEVICE ray/step counters "
+                         "(parallel.shard telemetry=True) and print/record "
+                         "them per point — the load-imbalance signal")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the env pins the TPU plugin; "
                          "combine with XLA_FLAGS=--xla_force_host_platform_"
@@ -106,13 +128,18 @@ def main(argv=None):
     from rays1bench_tpu.core.config import RenderConfig
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_bounces=args.max_bounces, ray_chunk=16384)
-    points = sweep(args.scene, cfg, counts, runs=args.runs,
-                   engine=args.engine, interpret=args.interpret,
-                   respawn=args.respawn)
+    out = sweep(args.scene, cfg, counts, runs=args.runs,
+                engine=args.engine, interpret=args.interpret,
+                respawn=args.respawn, telemetry=args.telemetry)
+    points, telems = out if args.telemetry else (out, None)
     effs = scaling_efficiency(points)
     print(f"{'devices':>8} {'mrays/s':>10} {'efficiency':>10}")
-    for p, e in zip(points, effs):
+    for i, (p, e) in enumerate(zip(points, effs)):
         print(f"{p.n_devices:>8} {p.mrays:>10.2f} {e:>10.2%}")
+        if telems:
+            t = telems[i]
+            print(f"         per-device rays  {t['device_rays']}")
+            print(f"         per-device steps {t['device_iters']}")
     if args.record:
         import os
         os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
@@ -121,9 +148,15 @@ def main(argv=None):
                  f"{args.engine}{' respawn' if args.respawn else ''}"
                  f"{' (interpret)' if args.interpret else ''}, {backend}")
         with open(args.record, "a") as f:
-            for p, e in zip(points, effs):
+            for i, (p, e) in enumerate(zip(points, effs)):
                 f.write(f"{label}|{p.n_devices}|{p.elapsed_seconds:.4f}s|"
                         f"{p.num_rays}|{p.mrays:.3f}|{e:.3f}|\n")
+                if telems:
+                    # Comment row (no pipe fields): report_cli's
+                    # scaling_table skips it; humans and probes read it.
+                    t = telems[i]
+                    f.write(f"# per-device rays {t['device_rays']} "
+                            f"steps {t['device_iters']}\n")
 
 
 if __name__ == "__main__":
