@@ -82,6 +82,10 @@ _NUM_COLS = NUM_GRAD + 1
 # of block s//8 — so accumulator VMEM is S * 5 KB instead of S * sub * 0.5
 # KB and the LARGE scene's 512 rows fit (VERDICT r4 item 1). MAX_SPHERES is
 # the blocked path's cap (SMEM + accumulator budget), not a design wall.
+# Threshold measured (medium scene, 48 rows, 1280x720 @ 4 spp, v5e,
+# 2026-08-21): blocked 86.6 ms vs unrolled 79.5 ms steady-state — the
+# unrolled kernel keeps ~9% at <= 64 rows (its static selects beat the
+# fori-loop's trip overhead at small S), so 64 stays the crossover.
 MAX_UNROLLED = 64
 MAX_SPHERES = 1024
 _VMEM_BUDGET = 12 * 2**20
