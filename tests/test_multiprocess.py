@@ -7,7 +7,11 @@ two REAL OS processes run `parallel.multihost.init()` against a localhost
 coordinator (jax.distributed / gRPC), form one global 2-device CPU mesh,
 render a sharded image through the production shard_map path, and verify it
 equals the single-process render BITWISE (stateless RNG: sharding cannot
-change any ray's math — parallel/shard.py).
+change any ray's math — parallel/shard.py). They then evaluate one FUSED
+gradient across the same mesh (megakernel forward + fused Pallas backward,
+sphere-cotangent psum over gRPC — the production training step's
+communication pattern, round 5) and check it against a purely local
+evaluation.
 
 The workers run with an empty XLA_FLAGS (one CPU device per process), so
 the mesh really spans processes: every collective in the render (the psum'd
@@ -60,8 +64,30 @@ full = np.asarray(full).reshape(image.shape)
 ref, ref_rays = render_image(scene.spheres, camera, cfg)
 assert int(num_rays) == int(ref_rays), (int(num_rays), int(ref_rays))
 np.testing.assert_array_equal(full, np.asarray(ref))
+
+# Round-5: one fused-gradient evaluation ACROSS the process boundary — the
+# megakernel topology forward + fused Pallas backward under shard_map over
+# the 2-process mesh (grad/mega.render_image_mega_sharded), with the
+# (10, S) sphere-cotangent psum riding gRPC. The loss must agree with a
+# purely local single-device fused evaluation to summation order, and the
+# gradients (replicated by the psum) must agree across processes — pinned
+# by the cross-process line comparison below.
+from rays1bench_tpu.grad.inverse import image_loss, params_of
+scene8 = create_small_scene(cfg.aspect, pad_multiple=8)
+gcfg = cfg.replace(max_bounces=2, early_exit=False)
+params = params_of(scene8.spheres, ("albedo_x",))
+target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+loss_sh, grads = jax.value_and_grad(image_loss)(
+    params, scene8.spheres, camera, target, gcfg, mesh, "mega")
+loss_1p = image_loss(params, scene8.spheres, camera, target, gcfg, None,
+                     "mega")
+rel = abs(float(loss_sh) - float(loss_1p)) / max(abs(float(loss_1p)), 1e-12)
+assert rel < 1e-6, (float(loss_sh), float(loss_1p))
+gsum = float(np.asarray(grads["albedo_x"]).sum())
+assert np.isfinite(gsum) and gsum != 0.0
+
 print(f"MULTIPROC_OK pid={pid} rays={int(num_rays)} "
-      f"checksum={float(full.sum()):.6f}", flush=True)
+      f"checksum={float(full.sum()):.6f} grad={gsum:.6e}", flush=True)
 '''
 
 
