@@ -48,7 +48,6 @@ def main():
 
     from rays1bench_tpu.core.cache import enable
     enable()
-    import functools
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,7 +57,6 @@ def main():
     from rays1bench_tpu.render.integrator import sky_color
     from rays1bench_tpu.render.intersect import HitRecord
     from rays1bench_tpu.render.materials import scatter
-    from rays1bench_tpu.render.camera import Camera
     from rays1bench_tpu.kernels.megakernel import (_cam_from_smem,
                                                    _make_intersect,
                                                    _pack_camera)
@@ -151,12 +149,9 @@ def main():
                 return (jnp.where(miss, a * skr, 0.0),
                         jnp.where(miss, b * skg, 0.0),
                         jnp.where(miss, c * skb, 0.0))
-        elif name == "sweep8":
-            def blk(i, a, b, c, rid, cam, isect=[None]):
-                # isect closure is built per-kernel below via cam hack; the
-                # sphere SMEM ref is threaded through `cam` slot 1.
-                raise RuntimeError("handled specially")
         else:
+            # "sweep8" never reaches mk_block — build() handles it inline
+            # (it needs the sphere SMEM ref, not just the camera).
             raise SystemExit(f"unknown block {name}")
         return blk
 

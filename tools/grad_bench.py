@@ -49,7 +49,6 @@ def main():
     from rays1bench_tpu.core.cache import enable
     enable()
     import jax
-    import jax.numpy as jnp
     from rays1bench_tpu.core.config import RenderConfig
     from rays1bench_tpu.grad.inverse import (InverseConfig, image_loss,
                                              make_train_step, params_of,
