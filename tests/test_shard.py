@@ -220,6 +220,17 @@ def test_sharded_telemetry(scene_and_camera):
         # telemetry exists to expose; busy devices still report steps.
         assert (iters[rays > 0] > 0).all(), (respawn, iters, rays)
 
+    # 2-D (tiles, samples) mesh: telemetry comes back mesh-shaped.
+    from rays1bench_tpu.parallel.mesh import make_mesh2d
+    mesh2d = make_mesh2d(2, 2)
+    img2, n2, telem2 = render_image_pallas_sharded(
+        scene.spheres, camera, cfg, mesh2d, axis_name="tiles",
+        sample_axis="samples", tile_rays=512, unroll=4,
+        n_real=scene.n_real, interpret=True, telemetry=True)
+    rays2 = np.asarray(telem2["device_rays"])
+    assert rays2.shape == (2, 2)
+    assert int(rays2.sum()) == int(n2) == int(n)
+
 
 def test_mega_grad_sharded_matches_single():
     """Multi-chip fused gradients (grad/mega.render_image_mega_sharded):
